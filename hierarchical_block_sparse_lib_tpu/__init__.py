@@ -1,0 +1,91 @@
+"""TPU-native hierarchical block-sparse linear algebra.
+
+A brand-new framework with the capabilities of the C++ reference library
+``toxaart/hierarchical_block_sparse_lib`` (quadtree block-sparse matrices
+with dense leaf blocks; see SURVEY.md), re-designed TPU-first:
+
+- The quadtree becomes *index math over flat arrays*: each matrix is a
+  sorted array of block ids plus a ``[cap, b, b]`` dense leaf-block tensor
+  in HBM (SURVEY.md section 8.1). A node of the implicit quadtree is a bit
+  prefix of the Morton code of a block id — hierarchy queries are
+  bit-shifts, not pointer walks.
+- Recursive SpGEMM becomes vectorized block-pair matching followed by one
+  batched MXU GEMM with segment accumulation (SURVEY.md section 8.2),
+  with a fused Pallas gather-GEMM-accumulate kernel on TPU.
+- Norm-based truncation becomes a fused per-block reduction + masked
+  compaction.
+- Distribution block-partitions the hierarchy over a ``jax.sharding.Mesh``
+  and exchanges block panels with collectives overlapped against leaf-GEMM
+  compute (SURVEY.md section 8.3).
+
+Reference capability contract (BASELINE.json:5): leaf dense GEMM,
+recursive SpGEMM, add, scale, transpose, norms, and truncation of
+near-zero blocks.  The reference mount was empty at survey time
+(SURVEY.md section 0), so parity citations point at BASELINE.json and
+SURVEY.md rather than reference file:line.
+"""
+
+from hierarchical_block_sparse_lib_tpu.core.block_matrix import (
+    BlockMatrix,
+    Params,
+    SENTINEL,
+)
+from hierarchical_block_sparse_lib_tpu.core.assembly import (
+    from_coo,
+    from_dense,
+    to_dense,
+    to_coo,
+    get_values,
+    empty,
+    eye,
+)
+from hierarchical_block_sparse_lib_tpu.ops.basic import (
+    add,
+    scale,
+    transpose,
+)
+from hierarchical_block_sparse_lib_tpu.ops.norms import (
+    frob_squared,
+    frob_norm,
+    block_frob_squared,
+    trace,
+    nnz_blocks,
+    subtree_frob_squared,
+)
+from hierarchical_block_sparse_lib_tpu.ops.truncate import truncate
+from hierarchical_block_sparse_lib_tpu.ops.spgemm import (
+    spgemm,
+    spgemm_symbolic,
+    MultiplyInfo,
+)
+from hierarchical_block_sparse_lib_tpu.ops.repack import repack, coarsen
+
+__all__ = [
+    "BlockMatrix",
+    "Params",
+    "SENTINEL",
+    "from_coo",
+    "from_dense",
+    "to_dense",
+    "to_coo",
+    "get_values",
+    "empty",
+    "eye",
+    "add",
+    "scale",
+    "transpose",
+    "frob_squared",
+    "frob_norm",
+    "block_frob_squared",
+    "trace",
+    "nnz_blocks",
+    "subtree_frob_squared",
+    "truncate",
+    "spgemm",
+    "spgemm_symbolic",
+    "MultiplyInfo",
+    "repack",
+    "coarsen",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,105 @@
+"""Density-matrix-purification-style iteration: the flagship workload.
+
+Reference parity: the truncation pipeline of BASELINE.json:9 ("repeated
+C = A*A with norm-based block dropping — matrix-polynomial /
+purification-style iteration"; SURVEY.md section 4.3).  This is the
+reason norm-based truncation is a first-class primitive: each step
+squares the matrix (SpGEMM), applies a polynomial update (add/scale),
+truncates near-zero blocks to restore sparsity, and tracks exact
+block-multiply counters.
+
+TPU-first structure: the whole step is one jitted function at fixed
+capacities (truncation keeps nnz bounded, so a static footprint works),
+suitable for `lax.scan`/host loops and for `shard_map` distribution.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from hierarchical_block_sparse_lib_tpu.core.block_matrix import BlockMatrix
+from hierarchical_block_sparse_lib_tpu.ops import basic, repack as repack_mod
+from hierarchical_block_sparse_lib_tpu.ops.norms import trace, frob_squared
+from hierarchical_block_sparse_lib_tpu.ops.spgemm import spgemm, MultiplyInfo
+from hierarchical_block_sparse_lib_tpu.ops.truncate import truncate
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PurificationStats:
+    trace: jax.Array
+    nnz_blocks: jax.Array
+    n_block_pairs: jax.Array
+    pair_overflow: jax.Array
+    out_overflow: jax.Array
+
+
+@partial(
+    jax.jit,
+    static_argnames=("pair_cap", "out_cap", "backend"),
+)
+def sp2_step(
+    x: BlockMatrix,
+    tau: float | jax.Array,
+    pair_cap: int,
+    out_cap: int,
+    target_trace: float | jax.Array = 0.0,
+    backend: str = "auto",
+):
+    """One SP2 (trace-correcting purification) step with truncation.
+
+    x2 = X @ X;  X <- x2            if trace(X) > target
+                 X <- 2X - x2       otherwise
+    then drop blocks with frob norm <= tau and repack to cap(x).
+
+    Returns (X_next, PurificationStats).  The polynomial branch is a
+    `lax.cond`-free linear blend (both branches share the same sparsity
+    union), keeping the step a single static-shape program.
+    """
+    x2, info = spgemm(x, x, pair_cap=pair_cap, out_cap=out_cap, backend=backend)
+    t = trace(x)
+    take_square = t > jnp.asarray(target_trace, t.dtype)
+    # X_next = s*x2 + (1-s)*(2x - x2) = (2s-1)*x2 + (2-2s)*x  with s in {0,1}
+    s = take_square.astype(x.dtype)
+    y = basic.add(x2, x, alpha=2.0 * s - 1.0, beta=2.0 - 2.0 * s)
+    y = truncate(y, tau)
+    y = repack_mod.repack(y, x.cap)
+    stats = PurificationStats(
+        trace=t,
+        nnz_blocks=y.nnz,
+        n_block_pairs=info.n_block_pairs,
+        pair_overflow=info.pair_overflow,
+        out_overflow=info.out_overflow,
+    )
+    return y, stats
+
+
+def purify(
+    x: BlockMatrix,
+    n_steps: int,
+    tau: float,
+    pair_cap: int,
+    out_cap: int,
+    target_trace: float = 0.0,
+    backend: str = "auto",
+):
+    """Run `n_steps` SP2 iterations (host loop; each step jitted).
+
+    Returns (X_final, list[PurificationStats]).
+    """
+    stats = []
+    for _ in range(n_steps):
+        x, s = sp2_step(
+            x,
+            tau,
+            pair_cap=pair_cap,
+            out_cap=out_cap,
+            target_trace=target_trace,
+            backend=backend,
+        )
+        stats.append(s)
+    return x, stats

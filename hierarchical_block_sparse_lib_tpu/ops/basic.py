@@ -1,0 +1,74 @@
+"""Add / scale / transpose.
+
+Reference parity (SURVEY.md C6/C7/C8): ``add(A,B,C)`` by structural union,
+``rescale(alpha)``, ``get_transpose()``.  The structural-union tree walk
+(SURVEY.md section 4.4) becomes a merge of two sorted id lists; transpose
+becomes id remapping + a batched axis swap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from hierarchical_block_sparse_lib_tpu.core.block_matrix import (
+    SENTINEL,
+    BlockMatrix,
+    compact_sorted,
+)
+
+
+def add(
+    a: BlockMatrix,
+    b: BlockMatrix,
+    alpha: float | jax.Array = 1.0,
+    beta: float | jax.Array = 1.0,
+    cap: int | None = None,
+) -> BlockMatrix:
+    """C = alpha*A + beta*B by structural union (SURVEY.md C6).
+
+    Output capacity defaults to cap(A)+cap(B); pass `cap` to bound it
+    (overflow drops blocks — use `truncate` + `repack` in loops to keep
+    nnz within capacity).
+    """
+    if (a.n_rows, a.n_cols) != (b.n_rows, b.n_cols):
+        raise ValueError("shape mismatch")
+    if a.block_size != b.block_size:
+        raise ValueError("block_size mismatch")
+    cap = cap if cap is not None else a.cap + b.cap
+    ids = jnp.concatenate([a.ids, b.ids])
+    alpha = jnp.asarray(alpha, a.dtype)
+    beta = jnp.asarray(beta, b.dtype)
+    data = jnp.concatenate([a.data * alpha, b.data * beta])
+    out_ids, out_data, nnz = compact_sorted(ids, data, cap)
+    return BlockMatrix(
+        ids=out_ids, data=out_data, nnz=nnz,
+        n_rows=a.n_rows, n_cols=a.n_cols, block_size=a.block_size,
+    )
+
+
+def scale(a: BlockMatrix, alpha) -> BlockMatrix:
+    """A <- alpha * A (reference ``rescale``, SURVEY.md C7).  Structure is
+    preserved (even for alpha == 0, matching explicit-zero semantics)."""
+    return a.with_data(a.data * jnp.asarray(alpha, a.dtype))
+
+
+def transpose(a: BlockMatrix) -> BlockMatrix:
+    """B = A^T (SURVEY.md C8): remap ids (brow,bcol)->(bcol,brow), re-sort,
+    and swap the trailing axes of every leaf block in one batched op."""
+    brow = a.ids // a.nb_cols
+    bcol = a.ids % a.nb_cols
+    new_ids = jnp.where(
+        a.valid_mask(), bcol * a.nb_rows + brow, SENTINEL
+    ).astype(jnp.int32)
+    order = jnp.argsort(new_ids)
+    return BlockMatrix(
+        ids=new_ids[order],
+        data=jnp.swapaxes(a.data[order], -1, -2),
+        nnz=a.nnz,
+        n_rows=a.n_cols,
+        n_cols=a.n_rows,
+        block_size=a.block_size,
+    )

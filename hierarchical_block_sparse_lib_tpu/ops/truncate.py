@@ -1,0 +1,64 @@
+"""Norm-based block truncation — the error-control primitive for
+purification / matrix-polynomial loops (SURVEY.md C10, BASELINE.json:9).
+
+The reference prunes subtrees whose Frobenius norm <= tau and deletes
+emptied interior nodes.  Here: fused per-block norm reduction -> mask ->
+in-place compaction (one sort).  Capacity is unchanged; the freed slots
+become SENTINEL/zero padding, so a truncate-then-multiply loop runs at a
+fixed memory footprint with zero reallocation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from hierarchical_block_sparse_lib_tpu.core.block_matrix import (
+    SENTINEL,
+    BlockMatrix,
+)
+from hierarchical_block_sparse_lib_tpu.core import morton
+from hierarchical_block_sparse_lib_tpu.ops.norms import block_frob_squared
+
+
+@partial(jax.jit, static_argnames=("subtree_level",))
+def truncate(
+    a: BlockMatrix,
+    tau: float | jax.Array,
+    subtree_level: int | None = None,
+) -> BlockMatrix:
+    """Drop blocks with frob norm <= tau; compact storage.
+
+    With `subtree_level` set, drops whole quadtree subtrees at that level
+    whose aggregate norm is <= tau (the reference's hierarchical pruning
+    semantics, SURVEY.md section 4.3); default is leaf-block truncation.
+    """
+    tau2 = jnp.square(jnp.asarray(tau, jnp.float32))
+    norms2 = block_frob_squared(a)
+    if subtree_level is None:
+        keep = norms2 > tau2
+    else:
+        nb = max(a.nb_rows, a.nb_cols)
+        depth = max(int(nb - 1).bit_length(), subtree_level)
+        code = morton.encode(a.ids // a.nb_cols, a.ids % a.nb_cols)
+        keys = morton.subtree_key(code, depth, subtree_level)
+        keys = jnp.where(a.valid_mask(), keys, 4**subtree_level)
+        agg = (
+            jnp.zeros((4**subtree_level + 1,), jnp.float32)
+            .at[keys]
+            .add(norms2, mode="drop")
+        )
+        keep = agg[keys] > tau2
+    keep = keep & a.valid_mask()
+    new_ids = jnp.where(keep, a.ids, SENTINEL).astype(jnp.int32)
+    order = jnp.argsort(new_ids)
+    data = jnp.where(keep[:, None, None], a.data, 0)[order]
+    return dataclasses.replace(
+        a,
+        ids=new_ids[order],
+        data=data,
+        nnz=jnp.sum(keep).astype(jnp.int32),
+    )

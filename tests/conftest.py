@@ -1,0 +1,25 @@
+"""Test config: CPU backend with 8 virtual devices (SURVEY.md section 5 —
+the TPU world's multi-node-without-a-cluster answer).  Env must be set
+before jax initializes a backend."""
+
+import os
+
+# Force CPU even when the session env pins a real accelerator
+# (e.g. JAX_PLATFORMS=axon): tests must be fast and hermetic.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The session's sitecustomize force-registers an accelerator backend
+# (axon) regardless of JAX_PLATFORMS; override at the config level too.
+import jax
+
+jax.config.update("jax_platforms", "cpu")

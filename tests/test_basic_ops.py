@@ -1,0 +1,136 @@
+"""add / scale / transpose / norms / truncate vs dense oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import hierarchical_block_sparse_lib_tpu as hbsm
+from hierarchical_block_sparse_lib_tpu.utils import generators as gen
+
+
+def _pair(n=96, b=16, seed=0):
+    r1, c1, v1 = gen.banded_coo(n, 4, seed=seed)
+    r2, c2, v2 = gen.random_block_sparse_coo(n, b, 0.25, seed=seed + 1)
+    A = hbsm.from_coo(r1, c1, v1, n, block_size=b)
+    B = hbsm.from_coo(r2, c2, v2, n, block_size=b)
+    dA = gen.dense_oracle(r1, c1, v1, n)
+    dB = gen.dense_oracle(r2, c2, v2, n)
+    return A, B, dA, dB
+
+
+def test_add():
+    A, B, dA, dB = _pair()
+    C = hbsm.add(A, B, alpha=2.0, beta=-0.5)
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(C)), 2.0 * dA - 0.5 * dB, rtol=1e-5
+    )
+    # union structure: nnz(C) <= nnz(A)+nnz(B)
+    assert int(C.nnz) <= int(A.nnz) + int(B.nnz)
+
+
+def test_add_bounded_cap():
+    A, B, dA, dB = _pair()
+    exact = hbsm.add(A, B)
+    C = hbsm.add(A, B, cap=int(exact.nnz))
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(C)), dA + dB, rtol=1e-5
+    )
+
+
+def test_scale():
+    A, _, dA, _ = _pair()
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(hbsm.scale(A, -3.5))), -3.5 * dA, rtol=1e-5
+    )
+
+
+def test_transpose():
+    A, B, dA, dB = _pair()
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(hbsm.transpose(A))), dA.T, rtol=1e-6
+    )
+    # transpose of transpose = identity
+    AT2 = hbsm.transpose(hbsm.transpose(A))
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(AT2)), dA, rtol=1e-6
+    )
+
+
+def test_transpose_nonsquare():
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((32, 64)).astype(np.float32)
+    m = hbsm.from_dense(x, block_size=16)
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(hbsm.transpose(m))), x.T, rtol=1e-6
+    )
+
+
+def test_norms_and_trace():
+    A, _, dA, _ = _pair()
+    np.testing.assert_allclose(
+        float(hbsm.frob_squared(A)), float((dA**2).sum()), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(hbsm.trace(A)), float(np.trace(dA)), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_subtree_norms_sum_to_total():
+    A, _, dA, _ = _pair()
+    for level in (0, 1, 2):
+        _, norms2 = hbsm.subtree_frob_squared(A, level)
+        np.testing.assert_allclose(
+            float(np.asarray(norms2).sum()), float((dA**2).sum()), rtol=1e-5
+        )
+
+
+def test_truncate():
+    n, b = 64, 8
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((n, n)).astype(np.float32)
+    # make some blocks tiny
+    x[:16, :16] *= 1e-6
+    x[32:40, 48:56] *= 1e-7
+    A = hbsm.from_dense(x, block_size=b)
+    tau = 1e-3
+    T = hbsm.truncate(A, tau)
+    # oracle: per-block frob norms
+    nb = n // b
+    blocks = x.reshape(nb, b, nb, b).transpose(0, 2, 1, 3)
+    norms = np.sqrt((blocks**2).sum((2, 3)))
+    expected = np.where((norms > tau)[:, :, None, None], blocks, 0)
+    expected = expected.transpose(0, 2, 1, 3).reshape(n, n)
+    np.testing.assert_allclose(np.asarray(hbsm.to_dense(T)), expected, rtol=1e-6)
+    assert int(T.nnz) == int((norms > tau).sum())
+    # error bound: ||A - T||_F <= tau * sqrt(#dropped)
+    dropped = int(A.nnz) - int(T.nnz)
+    err = np.linalg.norm(x - np.asarray(hbsm.to_dense(T)))
+    assert err <= tau * np.sqrt(max(dropped, 1)) + 1e-6
+
+
+def test_truncate_subtree():
+    n, b = 64, 8
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((n, n)).astype(np.float32)
+    x[:32, :32] *= 1e-8  # entire level-1 quadrant tiny
+    A = hbsm.from_dense(x, block_size=b)
+    T = hbsm.truncate(A, 1e-3, subtree_level=1)
+    d = np.asarray(hbsm.to_dense(T))
+    assert np.all(d[:32, :32] == 0)
+    np.testing.assert_allclose(d[32:, :], x[32:, :], rtol=1e-6)
+
+
+def test_repack():
+    A, _, dA, _ = _pair()
+    big = hbsm.repack(A, A.cap + 10)
+    np.testing.assert_allclose(np.asarray(hbsm.to_dense(big)), dA, rtol=1e-6)
+    tight = hbsm.repack(big, int(A.nnz))
+    np.testing.assert_allclose(np.asarray(hbsm.to_dense(tight)), dA, rtol=1e-6)
+
+
+def test_coarsen():
+    A, _, dA, _ = _pair(n=96, b=8)
+    C = hbsm.coarsen(A, 2)
+    assert C.block_size == 16
+    np.testing.assert_allclose(np.asarray(hbsm.to_dense(C)), dA, rtol=1e-6)
+    assert int(C.nnz) <= int(A.nnz)

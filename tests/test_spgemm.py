@@ -1,0 +1,136 @@
+"""SpGEMM vs dense oracle — configs modeled on BASELINE.json:7-10
+(scaled down for CI) plus transpose flags and counter checks."""
+
+import numpy as np
+import pytest
+
+import hierarchical_block_sparse_lib_tpu as hbsm
+from hierarchical_block_sparse_lib_tpu.ops.spgemm import plan_spgemm
+from hierarchical_block_sparse_lib_tpu.utils import generators as gen
+
+
+def _mul_oracle(A, B, dA, dB, **kw):
+    n_pairs, n_out = plan_spgemm(A, B)
+    C, info = hbsm.spgemm(
+        A, B, pair_cap=max(n_pairs, 1), out_cap=max(n_out, 1), **kw
+    )
+    assert not bool(info.pair_overflow)
+    assert not bool(info.out_overflow)
+    assert int(info.n_block_pairs) == n_pairs
+    assert int(info.n_out_blocks) == n_out
+    return C, info
+
+
+def test_banded_spgemm():
+    """Scaled-down B1 (BASELINE.json:7): banded, C = A*B vs dense."""
+    n, bw, b = 256, 8, 16
+    r, c, v = gen.banded_coo(n, bw, seed=0)
+    dA = gen.dense_oracle(r, c, v, n)
+    A = hbsm.from_coo(r, c, v, n, block_size=b)
+    C, info = _mul_oracle(A, A, dA, dA)
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(C)), dA @ dA, rtol=2e-4, atol=1e-3
+    )
+    assert int(C.nnz) == int(info.n_out_blocks)
+
+
+def test_random_block_sparse_chain():
+    """Scaled-down B2 (BASELINE.json:8): SpGEMM + add + scale chain."""
+    n, b = 256, 16
+    r1, c1, v1 = gen.random_block_sparse_coo(n, b, 0.1, seed=1)
+    r2, c2, v2 = gen.random_block_sparse_coo(n, b, 0.1, seed=2)
+    dA = gen.dense_oracle(r1, c1, v1, n)
+    dB = gen.dense_oracle(r2, c2, v2, n)
+    A = hbsm.from_coo(r1, c1, v1, n, block_size=b)
+    B = hbsm.from_coo(r2, c2, v2, n, block_size=b)
+    C, _ = _mul_oracle(A, B, dA, dB, alpha=0.5)
+    D = hbsm.add(C, A, beta=2.0)
+    D = hbsm.scale(D, -1.0)
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(D)),
+        -(0.5 * dA @ dB + 2.0 * dA),
+        rtol=2e-4,
+        atol=1e-3,
+    )
+
+
+@pytest.mark.parametrize("ta,tb", [(True, False), (False, True), (True, True)])
+def test_transpose_flags(ta, tb):
+    n, b = 128, 16
+    r1, c1, v1 = gen.banded_coo(n, 5, seed=3)
+    r2, c2, v2 = gen.random_block_sparse_coo(n, b, 0.2, seed=4)
+    dA = gen.dense_oracle(r1, c1, v1, n)
+    dB = gen.dense_oracle(r2, c2, v2, n)
+    A = hbsm.from_coo(r1, c1, v1, n, block_size=b)
+    B = hbsm.from_coo(r2, c2, v2, n, block_size=b)
+    opA = dA.T if ta else dA
+    opB = dB.T if tb else dB
+    n_pairs = 64 * 64 * 2  # generous cap
+    C, info = hbsm.spgemm(
+        A, B, pair_cap=n_pairs, out_cap=64, transpose_a=ta, transpose_b=tb
+    )
+    assert not bool(info.pair_overflow) and not bool(info.out_overflow)
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(C)), opA @ opB, rtol=2e-4, atol=1e-3
+    )
+
+
+def test_zero_shortcircuit_counts():
+    """Block-diagonal x block-diagonal: exactly one pair per block
+    (the reference's zero-child short-circuit, SURVEY.md section 4.2)."""
+    n, b = 128, 16
+    nb = n // b
+    x = np.zeros((n, n), np.float32)
+    for i in range(nb):
+        x[i * b : (i + 1) * b, i * b : (i + 1) * b] = np.random.default_rng(
+            i
+        ).standard_normal((b, b))
+    A = hbsm.from_dense(x, block_size=b)
+    C, info = _mul_oracle(A, A, x, x)
+    assert int(info.n_block_pairs) == nb
+    assert int(info.n_out_blocks) == nb
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(C)), x @ x, rtol=2e-4, atol=1e-3
+    )
+
+
+def test_overflow_reported():
+    n, b = 128, 16
+    r, c, v = gen.banded_coo(n, 8, seed=5)
+    A = hbsm.from_coo(r, c, v, n, block_size=b)
+    _, info = hbsm.spgemm(A, A, pair_cap=2, out_cap=2)
+    assert bool(info.pair_overflow)
+
+
+def test_empty_operand():
+    A = hbsm.empty(64, 64, 16, cap=4)
+    B = hbsm.eye(64, 16)
+    C, info = hbsm.spgemm(A, B, pair_cap=8, out_cap=8)
+    assert int(info.n_block_pairs) == 0
+    assert int(C.nnz) == 0
+    assert np.all(np.asarray(hbsm.to_dense(C)) == 0)
+
+
+def test_identity_multiply():
+    n, b = 96, 16
+    r, c, v = gen.random_block_sparse_coo(n, b, 0.3, seed=6)
+    dA = gen.dense_oracle(r, c, v, n)
+    A = hbsm.from_coo(r, c, v, n, block_size=b)
+    I = hbsm.eye(n, b)
+    C, _ = _mul_oracle(A, I, dA, None)
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(C)), dA, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_nonsquare_spgemm():
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((64, 96)).astype(np.float32)
+    y = rng.standard_normal((96, 32)).astype(np.float32)
+    x[:, 48:] = 0
+    A = hbsm.from_dense(x, block_size=16)
+    B = hbsm.from_dense(y, block_size=16)
+    C, _ = _mul_oracle(A, B, x, y)
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(C)), x @ y, rtol=2e-4, atol=1e-3
+    )
