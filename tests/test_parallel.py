@@ -1,0 +1,81 @@
+"""Distributed SpGEMM / norms / truncation over a virtual 8-device mesh
+(SURVEY.md section 5: multi-host logic tested with fake-device meshes)."""
+
+import numpy as np
+import jax
+import pytest
+
+import hierarchical_block_sparse_lib_tpu as hbsm
+from hierarchical_block_sparse_lib_tpu.parallel import dist
+from hierarchical_block_sparse_lib_tpu.ops.spgemm import plan_spgemm
+from hierarchical_block_sparse_lib_tpu.utils import generators as gen
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return dist.make_mesh(8)
+
+
+def _matrix(n=512, b=32, bw=40, seed=0):
+    r, c, v = gen.banded_coo(n, bw, seed=seed)
+    dA = gen.dense_oracle(r, c, v, n)
+    A = hbsm.from_coo(r, c, v, n, block_size=b)
+    return A, dA
+
+
+def test_distribute_roundtrip(mesh):
+    A, dA = _matrix()
+    Ad = dist.distribute(A, mesh)
+    back = dist.undistribute(Ad)
+    np.testing.assert_allclose(np.asarray(hbsm.to_dense(back)), dA, rtol=1e-6)
+    assert int(back.nnz) == int(A.nnz)
+
+
+def test_dist_spgemm_banded(mesh):
+    A, dA = _matrix()
+    n_pairs, n_out = plan_spgemm(A, A)
+    Ad = dist.distribute(A, mesh)
+    # per-device per-stage caps: generous
+    Cd, pairs, ovf = dist.dist_spgemm(
+        Ad, Ad, mesh, pair_cap=n_pairs, out_cap=n_out, stage_out_cap=n_out
+    )
+    assert not bool(ovf)
+    assert int(pairs) == n_pairs
+    C = dist.undistribute(Cd)
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(C)), dA @ dA, rtol=2e-4, atol=1e-3
+    )
+
+
+def test_dist_spgemm_random(mesh):
+    n, b = 512, 32
+    r1, c1, v1 = gen.random_block_sparse_coo(n, b, 0.15, seed=1)
+    r2, c2, v2 = gen.random_block_sparse_coo(n, b, 0.15, seed=2)
+    dA = gen.dense_oracle(r1, c1, v1, n)
+    dB = gen.dense_oracle(r2, c2, v2, n)
+    A = hbsm.from_coo(r1, c1, v1, n, block_size=b)
+    B = hbsm.from_coo(r2, c2, v2, n, block_size=b)
+    n_pairs, n_out = plan_spgemm(A, B)
+    Ad = dist.distribute(A, mesh)
+    Bd = dist.distribute(B, mesh)
+    Cd, pairs, ovf = dist.dist_spgemm(
+        Ad, Bd, mesh, pair_cap=max(n_pairs, 1), out_cap=max(n_out, 1),
+        alpha=0.5,
+    )
+    assert not bool(ovf)
+    assert int(pairs) == n_pairs
+    C = dist.undistribute(Cd)
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(C)), 0.5 * dA @ dB, rtol=2e-4, atol=1e-3
+    )
+
+
+def test_dist_frob_and_truncate(mesh):
+    A, dA = _matrix(seed=3)
+    Ad = dist.distribute(A, mesh)
+    f2 = dist.dist_frob_squared(Ad, mesh)
+    np.testing.assert_allclose(float(f2), float((dA**2).sum()), rtol=1e-5)
+    Td = dist.dist_truncate(Ad, mesh, 1e9)
+    T = dist.undistribute(Td)
+    assert int(T.nnz) == 0
