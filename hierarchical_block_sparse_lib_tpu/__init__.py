@@ -56,9 +56,12 @@ from hierarchical_block_sparse_lib_tpu.ops.truncate import truncate
 from hierarchical_block_sparse_lib_tpu.ops.spgemm import (
     spgemm,
     spgemm_symbolic,
+    spamm,
+    plan_spamm,
     MultiplyInfo,
 )
 from hierarchical_block_sparse_lib_tpu.ops.repack import repack, coarsen
+from hierarchical_block_sparse_lib_tpu.utils.serialization import save, load
 
 __all__ = [
     "BlockMatrix",
@@ -83,9 +86,25 @@ __all__ = [
     "truncate",
     "spgemm",
     "spgemm_symbolic",
+    "spamm",
+    "plan_spamm",
     "MultiplyInfo",
     "repack",
     "coarsen",
+    "save",
+    "load",
+    "HierarchicalBlockSparseMatrix",
 ]
+
+
+def __getattr__(name):
+    # api imports the package; lazy-load to avoid the import cycle.
+    if name == "HierarchicalBlockSparseMatrix":
+        from hierarchical_block_sparse_lib_tpu.api import (
+            HierarchicalBlockSparseMatrix,
+        )
+
+        return HierarchicalBlockSparseMatrix
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 __version__ = "0.1.0"

@@ -1,0 +1,221 @@
+"""Reference-shaped object API: ``HierarchicalBlockSparseMatrix``.
+
+A thin stateful wrapper over the functional core, mirroring the C++
+reference's public class surface (SURVEY.md C1/C3 and section 9.2:
+``set_params``/``get_params``, ``resize``, ``assign_from_vectors``,
+``get_values``/``get_all_values``, ``add``/``multiply``/``rescale``/
+``get_transpose``, ``get_frob_squared``/``get_trace``/``get_nnz``,
+``frob_block_trunc``) so a user of the reference can migrate method by
+method.  Capacity planning (the one thing the TPU representation needs
+that the pointer quadtree didn't) is handled internally via the host
+symbolic planner — each call is eager and exact.
+
+The functional API (`hierarchical_block_sparse_lib_tpu` top level) is the
+TPU-first path: jittable, static-shape, composable with `lax.scan` /
+`shard_map`.  Use this wrapper for parity, porting, and interactive work.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import hierarchical_block_sparse_lib_tpu as hbsm
+from hierarchical_block_sparse_lib_tpu.core.block_matrix import (
+    BlockMatrix,
+    Params,
+)
+from hierarchical_block_sparse_lib_tpu.ops.spgemm import plan_spgemm
+from hierarchical_block_sparse_lib_tpu.runtime import native
+
+
+class HierarchicalBlockSparseMatrix:
+    """Stateful block-sparse matrix with the reference's method names."""
+
+    def __init__(self, params: Params | None = None):
+        self._params = params or Params()
+        self._m: BlockMatrix | None = None
+        # The reference's instrumentation counters (SURVEY.md C12).
+        self.no_of_block_multiplies = 0
+        self.no_of_resizes = 0
+
+    # -- params / geometry (reference: set_params/get_params/resize) -----
+    def set_params(self, params: Params) -> None:
+        if self._m is not None:
+            raise RuntimeError("set_params must precede resize/assign")
+        self._params = params
+
+    def get_params(self) -> Params:
+        return self._params
+
+    def resize(self, n_rows: int, n_cols: int | None = None) -> None:
+        n_cols = n_rows if n_cols is None else n_cols
+        self._m = hbsm.empty(
+            n_rows,
+            n_cols,
+            self._params.block_size,
+            cap=1,
+            dtype=self._params.dtype,
+        )
+        self.no_of_resizes += 1
+
+    def clear(self) -> None:
+        self._m = None
+
+    def empty(self) -> bool:
+        return self._m is None or int(self._m.nnz) == 0
+
+    def get_n_rows(self) -> int:
+        self._require()
+        return self._m.n_rows
+
+    def get_n_cols(self) -> int:
+        self._require()
+        return self._m.n_cols
+
+    def get_depth(self) -> int:
+        """Depth of the implicit quadtree: ceil(log2(blocks per side))."""
+        self._require()
+        nb = max(self._m.nb_rows, self._m.nb_cols)
+        return max(int(nb - 1).bit_length(), 0)
+
+    # -- assembly / extraction (reference C3) -----------------------------
+    def assign_from_vectors(self, rows, cols, values) -> None:
+        self._require()
+        self._m = hbsm.from_coo(
+            np.asarray(rows),
+            np.asarray(cols),
+            np.asarray(values).astype(self._params.dtype),
+            self._m.n_rows,
+            self._m.n_cols,
+            block_size=self._params.block_size,
+        )
+
+    def get_values(self, rows, cols) -> np.ndarray:
+        self._require()
+        return np.asarray(hbsm.get_values(self._m, rows, cols))
+
+    def get_all_values(self):
+        """(rows, cols, values) of all stored elements (explicit zeros in
+        stored blocks excluded, matching sparse-export semantics)."""
+        self._require()
+        r, c, v, mask = hbsm.to_coo(self._m)
+        m = np.asarray(mask) & (np.asarray(v) != 0)
+        return np.asarray(r)[m], np.asarray(c)[m], np.asarray(v)[m]
+
+    def to_dense(self) -> np.ndarray:
+        self._require()
+        return np.asarray(hbsm.to_dense(self._m))
+
+    # -- algebra (reference C5-C8) ----------------------------------------
+    @staticmethod
+    def multiply(
+        a: "HierarchicalBlockSparseMatrix",
+        transpose_a: bool,
+        b: "HierarchicalBlockSparseMatrix",
+        transpose_b: bool,
+        alpha: float = 1.0,
+    ) -> "HierarchicalBlockSparseMatrix":
+        """C = alpha * op(A) op(B) — the reference's multiply with
+        transpose flags (SURVEY.md C5); counters accumulate on C."""
+        a._require()
+        b._require()
+        am = (
+            hbsm.transpose(a._m) if transpose_a else a._m
+        )
+        bm = hbsm.transpose(b._m) if transpose_b else b._m
+        pc, oc = plan_spgemm(am, bm)
+        cm, info = hbsm.spgemm(
+            am, bm, pair_cap=max(pc, 1), out_cap=max(oc, 1), alpha=alpha
+        )
+        c = HierarchicalBlockSparseMatrix(
+            Params(a._params.block_size, a._params.dtype)
+        )
+        c._m = cm
+        c.no_of_block_multiplies = (
+            a.no_of_block_multiplies + int(info.n_block_pairs)
+        )
+        return c
+
+    @staticmethod
+    def add(
+        a: "HierarchicalBlockSparseMatrix",
+        b: "HierarchicalBlockSparseMatrix",
+        alpha: float = 1.0,
+        beta: float = 1.0,
+    ) -> "HierarchicalBlockSparseMatrix":
+        a._require()
+        b._require()
+        cap = native.plan_add(np.asarray(a._m.ids), np.asarray(b._m.ids))
+        cm = hbsm.add(a._m, b._m, alpha=alpha, beta=beta, cap=max(cap, 1))
+        c = HierarchicalBlockSparseMatrix(a._params)
+        c._m = cm
+        return c
+
+    def rescale(self, alpha: float) -> None:
+        self._require()
+        self._m = hbsm.scale(self._m, alpha)
+
+    def get_transpose(self) -> "HierarchicalBlockSparseMatrix":
+        self._require()
+        t = HierarchicalBlockSparseMatrix(self._params)
+        t._m = hbsm.transpose(self._m)
+        return t
+
+    # -- norms / counters (reference C9, C12) ------------------------------
+    def get_frob_squared(self) -> float:
+        self._require()
+        return float(hbsm.frob_squared(self._m))
+
+    def get_trace(self) -> float:
+        self._require()
+        return float(hbsm.trace(self._m))
+
+    def get_nnz(self) -> int:
+        """Stored elements (nnz blocks * block area), the reference's
+        storage counter."""
+        self._require()
+        return int(self._m.nnz) * self._params.block_size**2
+
+    def get_nnz_blocks(self) -> int:
+        self._require()
+        return int(self._m.nnz)
+
+    # -- truncation (reference C10) ----------------------------------------
+    def frob_block_trunc(self, tau: float) -> None:
+        """Drop blocks with Frobenius norm <= tau (in place)."""
+        self._require()
+        self._m = hbsm.truncate(self._m, tau)
+
+    # -- copy (reference C11) ----------------------------------------------
+    def copy(self) -> "HierarchicalBlockSparseMatrix":
+        c = HierarchicalBlockSparseMatrix(self._params)
+        c._m = self._m  # immutable arrays: structural sharing IS deep copy
+        c.no_of_block_multiplies = self.no_of_block_multiplies
+        c.no_of_resizes = self.no_of_resizes
+        return c
+
+    # -- interop ------------------------------------------------------------
+    @property
+    def block_matrix(self) -> BlockMatrix:
+        """The underlying functional-core value (for the TPU-first API)."""
+        self._require()
+        return self._m
+
+    @classmethod
+    def from_block_matrix(cls, m: BlockMatrix) -> "HierarchicalBlockSparseMatrix":
+        obj = cls(Params(m.block_size, m.dtype))
+        obj._m = m
+        return obj
+
+    def _require(self):
+        if self._m is None:
+            raise RuntimeError("matrix is empty: call resize() first")
+
+    def __repr__(self):  # pragma: no cover
+        if self._m is None:
+            return "HierarchicalBlockSparseMatrix(<unset>)"
+        return f"HierarchicalBlockSparseMatrix({self._m!r})"

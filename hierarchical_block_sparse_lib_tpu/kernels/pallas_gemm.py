@@ -5,7 +5,7 @@ multiply dispatch -> batched Pallas GEMM with block-pair gather") as ONE
 kernel: for each contributing block pair p, gather A[a_idx[p]] and
 B[b_idx[p]] from HBM, multiply on the MXU, and accumulate into output
 block seg[p] — without materializing the [pairs, b, b] gathered copies
-or the per-pair product tensor that the XLA path writes to HBM.
+or the per-pair product tensor that a naive XLA path writes to HBM.
 
 How it works:
 - `a_idx`/`b_idx`/`seg` ride in as scalar-prefetch operands, so each
@@ -19,6 +19,15 @@ How it works:
   accumulation — the plan of SURVEY.md section 8.5.
 - Invalid (padding) pairs carry seg == out_cap: they accumulate into a
   trash block that the caller slices off.
+
+Scale-out past SMEM: scalar-prefetch operands live in SMEM (~1 MB), so
+one call handles at most ~40k pairs.  `gather_gemm_accumulate` chunks
+the (c-sorted) pair list and runs one call per chunk; chunks after the
+first read the output-so-far back through an aliased carry-in operand
+(`cin`), whose per-window block is fetched on the window's first visit:
+`out[w] = cin[w] + prod`.  Segments spanning a chunk boundary therefore
+accumulate exactly, at the cost of one extra out-block read per chunk
+boundary — negligible against the per-pair gather traffic.
 
 Arithmetic intensity is b/4 FLOP/byte (f32), so b=128 blocks run this
 kernel at the HBM roofline; bf16 data at precision='default' doubles it.
@@ -38,6 +47,10 @@ _PRECISION = {
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
 }
+
+# Scalar-prefetch budget: 3 int32 arrays per call must fit SMEM (~1 MB)
+# alongside control state.  3 * 24576 * 4B = 288 KB.
+PAIR_CHUNK = 24576
 
 
 def _kernel(a_idx_ref, b_idx_ref, seg_ref, a_ref, b_ref, o_ref, *, precision):
@@ -63,8 +76,82 @@ def _kernel(a_idx_ref, b_idx_ref, seg_ref, a_ref, b_ref, o_ref, *, precision):
         o_ref[0] += prod
 
 
+def _kernel_cin(
+    a_idx_ref, b_idx_ref, seg_ref, a_ref, b_ref, cin_ref, o_ref, *, precision
+):
+    """Accumulating variant: on a window's first visit, seed from the
+    aliased carry-in block (the output of the previous chunk's call)."""
+    p = pl.program_id(0)
+    seg_here = seg_ref[p]
+    seg_prev = seg_ref[jnp.maximum(p - 1, 0)]
+    is_first = jnp.logical_or(p == 0, seg_here != seg_prev)
+
+    prod = jax.lax.dot_general(
+        a_ref[0],
+        b_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_PRECISION[precision],
+    )
+
+    @pl.when(is_first)
+    def _():
+        o_ref[0] = cin_ref[0] + prod
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        o_ref[0] += prod
+
+
+def _call_one_chunk(
+    a_data, b_data, a_idx, b_idx, seg, cin, out_cap, precision, interpret
+):
+    """One pallas_call over <= PAIR_CHUNK pairs.  cin=None: first chunk
+    (windows initialize from the product); else accumulate onto cin."""
+    pairs = a_idx.shape[0]
+    b = a_data.shape[-1]
+    in_specs = [
+        pl.BlockSpec((1, b, b), lambda p, ai, bi, sg: (ai[p], 0, 0)),
+        pl.BlockSpec((1, b, b), lambda p, ai, bi, sg: (bi[p], 0, 0)),
+    ]
+    operands = [a_idx, b_idx, seg, a_data, b_data]
+    if cin is not None:
+        in_specs.append(
+            pl.BlockSpec((1, b, b), lambda p, ai, bi, sg: (sg[p], 0, 0))
+        )
+        operands.append(cin)
+        kernel = _kernel_cin
+        # Alias cin (operand index 5 incl. the 3 scalar-prefetch args)
+        # to the output: accumulation stays in-place in HBM.
+        io_alias = {5: 0}
+    else:
+        kernel = _kernel
+        io_alias = {}
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(pairs,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, b, b), lambda p, ai, bi, sg: (sg[p], 0, 0)
+        ),
+    )
+    flops_per_pair = 2 * b * b * b * (3 if precision == "highest" else 1)
+    return pl.pallas_call(
+        functools.partial(kernel, precision=precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((out_cap + 1, b, b), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_pair * pairs,
+            bytes_accessed=pairs * 2 * b * b * a_data.dtype.itemsize,
+            transcendentals=0,
+        ),
+        input_output_aliases=io_alias,
+        interpret=interpret,
+    )(*operands)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("out_cap", "precision", "interpret")
+    jax.jit, static_argnames=("out_cap", "precision", "interpret", "chunk")
 )
 def gather_gemm_accumulate(
     a_data: jax.Array,  # [capA, b, b]
@@ -75,41 +162,44 @@ def gather_gemm_accumulate(
     out_cap: int,
     precision: str = "highest",
     interpret: bool | None = None,
+    chunk: int = PAIR_CHUNK,
 ) -> jax.Array:
-    """Returns f32[out_cap, b, b] segment-accumulated block products."""
+    """Returns f32[out_cap, b, b] segment-accumulated block products.
+
+    Handles any pair count: the pair list is split into SMEM-sized
+    chunks executed as sequential aliased pallas_calls (see module doc).
+    """
     pairs = a_idx.shape[0]
-    b = a_data.shape[-1]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(pairs,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, b, b),
-                lambda p, ai, bi, sg: (ai[p], 0, 0),
-            ),
-            pl.BlockSpec(
-                (1, b, b),
-                lambda p, ai, bi, sg: (bi[p], 0, 0),
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, b, b),
-            lambda p, ai, bi, sg: (sg[p], 0, 0),
-        ),
-    )
-    flops_per_pair = 2 * b * b * b * (3 if precision == "highest" else 1)
-    out = pl.pallas_call(
-        functools.partial(_kernel, precision=precision),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((out_cap + 1, b, b), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=flops_per_pair * pairs,
-            bytes_accessed=pairs * 2 * b * b * a_data.dtype.itemsize,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(a_idx, b_idx, seg, a_data, b_data)
+    if pairs <= chunk:
+        # Single call: windows never visited by the grid keep undefined
+        # buffer content — the caller (spgemm) masks padding slots.
+        out = _call_one_chunk(
+            a_data, b_data, a_idx, b_idx, seg, None, out_cap, precision,
+            interpret,
+        )
+        return out[:out_cap]
+
+    n_chunks = -(-pairs // chunk)
+    pad = n_chunks * chunk - pairs
+    if pad:
+        a_idx = jnp.concatenate([a_idx, jnp.zeros((pad,), jnp.int32)])
+        b_idx = jnp.concatenate([b_idx, jnp.zeros((pad,), jnp.int32)])
+        seg = jnp.concatenate(
+            [seg, jnp.full((pad,), out_cap, jnp.int32)]
+        )
+    b = a_data.shape[-1]
+    # Every chunk (incl. the first) accumulates onto the carried buffer:
+    # a window visited for the first time in chunk c seeds from cin,
+    # which holds zeros (or earlier chunks' partials) — never-visited
+    # windows pass through as zeros in-place via the aliasing.
+    out = jnp.zeros((out_cap + 1, b, b), jnp.float32)
+    for c in range(n_chunks):
+        sl = slice(c * chunk, (c + 1) * chunk)
+        out = _call_one_chunk(
+            a_data, b_data, a_idx[sl], b_idx[sl], seg[sl], out, out_cap,
+            precision, interpret,
+        )
     return out[:out_cap]

@@ -20,7 +20,18 @@ from hierarchical_block_sparse_lib_tpu.core import morton
 @jax.jit
 def block_frob_squared(a: BlockMatrix) -> jax.Array:
     """Per-stored-block squared Frobenius norm, f32 accumulation.
-    Padding blocks are all-zero by invariant -> contribute 0."""
+    Padding blocks are all-zero by invariant -> contribute 0.
+
+    On TPU this is the fused Pallas reduction mandated by the north star
+    (BASELINE.json:5 "truncation/norm pass -> fused Pallas reduction");
+    elsewhere a jnp reduction (identical numerics: f32 tree-sum).
+    """
+    if jax.default_backend() == "tpu" and a.block_size % 128 == 0:
+        from hierarchical_block_sparse_lib_tpu.kernels.pallas_norms import (
+            block_frob_squared as _pallas_norms,
+        )
+
+        return _pallas_norms(a.data)
     return jnp.sum(jnp.square(a.data.astype(jnp.float32)), axis=(1, 2))
 
 

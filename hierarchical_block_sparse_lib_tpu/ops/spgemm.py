@@ -49,13 +49,32 @@ class MultiplyInfo:
     out_overflow: jax.Array  # bool[] — out_cap too small (results dropped)
 
 
-@partial(jax.jit, static_argnames=("pair_cap",))
-def spgemm_symbolic(a: BlockMatrix, b: BlockMatrix, pair_cap: int):
+@partial(jax.jit, static_argnames=("pair_cap", "filter_by_norm"))
+def spgemm_symbolic(
+    a: BlockMatrix,
+    b: BlockMatrix,
+    pair_cap: int,
+    tau: float | jax.Array = 0.0,
+    filter_by_norm: bool = False,
+):
     """Enumerate contributing block pairs, sorted by output block id.
 
-    Returns (a_idx, b_idx, c_id, total_pairs): int32[pair_cap] arrays;
-    entries past `total_pairs` have c_id == SENTINEL.  Sorted by c_id so
-    the numeric phase can accumulate segments sequentially.
+    Returns (a_idx, b_idx, c_id, total, raw_total): int32[pair_cap]
+    arrays; entries past `total` have c_id == SENTINEL.  Sorted by c_id
+    so the numeric phase can accumulate segments sequentially.  `total`
+    is the number of surviving pairs, `raw_total` the unfiltered pair
+    count (enumeration overflows iff raw_total > pair_cap).
+
+    With `filter_by_norm=True`, pairs whose a-priori product norm bound
+    ``||A_ik||_F * ||B_kj||_F <= tau`` are dropped before the numeric
+    phase — the reference lineage's SpAMM-style error-controlled
+    approximate multiply (SURVEY.md section 1: "sparse approximate
+    multiplication with error control" for purification); the total
+    dropped Frobenius mass is bounded by the sum of skipped bounds.
+    Because the sort moves survivors to the front, the caller can slice
+    the pair lists to a tight `gemm_cap` < pair_cap and spend MXU time
+    on surviving pairs only (the symbolic workspace is cheap int32;
+    the numeric batch is the b^3 cost).
     """
     a_valid = a.valid_mask()
     a_row = a.ids // a.nb_cols
@@ -80,12 +99,31 @@ def spgemm_symbolic(a: BlockMatrix, b: BlockMatrix, pair_cap: int):
     valid_p = p < total
     a_idx = e_c
     b_idx = jnp.minimum(lo[e_c] + t, b.cap - 1)
+    if filter_by_norm:
+        from hierarchical_block_sparse_lib_tpu.ops.norms import (
+            block_frob_squared,
+        )
+
+        # Compare squared quantities to avoid per-block sqrt.
+        an2 = block_frob_squared(a)
+        bn2 = block_frob_squared(b)
+        tau2 = jnp.square(jnp.asarray(tau, jnp.float32))
+        valid_p = valid_p & (an2[a_idx] * bn2[b_idx] > tau2)
     c_id = jnp.where(
         valid_p, a_row[e_c] * b.nb_cols + b_col[b_idx], SENTINEL
     ).astype(jnp.int32)
+    raw_total = total.astype(jnp.int32)
+    if filter_by_norm:
+        total = jnp.sum(valid_p).astype(jnp.int32)
 
     order = jnp.argsort(c_id)
-    return a_idx[order], b_idx[order], c_id[order], total.astype(jnp.int32)
+    return (
+        a_idx[order],
+        b_idx[order],
+        c_id[order],
+        total.astype(jnp.int32),
+        raw_total,
+    )
 
 
 _PRECISION = {
@@ -108,6 +146,43 @@ def _xla_numeric(a_data, b_data, a_idx, b_idx, acc_dtype, precision):
     )
 
 
+# Bound the materialized gather of the XLA path: 2 * chunk * b^2 * 4B
+# (e.g. 1 GB at b=128, chunk=8192 per operand gather + product).
+_XLA_PAIR_CHUNK = 8192
+
+
+def _xla_numeric_accumulate(
+    a_data, b_data, a_idx, b_idx, seg, out_shape, acc_dtype, precision
+):
+    """Chunked gather-GEMM-scatter: memory-bounded for any pair count."""
+    pairs = a_idx.shape[0]
+    out = jnp.zeros(out_shape, acc_dtype)
+    if pairs <= _XLA_PAIR_CHUNK:
+        prod = _xla_numeric(a_data, b_data, a_idx, b_idx, acc_dtype, precision)
+        return out.at[seg].add(prod, mode="drop")
+    n_chunks = -(-pairs // _XLA_PAIR_CHUNK)
+    pad = n_chunks * _XLA_PAIR_CHUNK - pairs
+    if pad:
+        a_idx = jnp.concatenate([a_idx, jnp.zeros((pad,), jnp.int32)])
+        b_idx = jnp.concatenate([b_idx, jnp.zeros((pad,), jnp.int32)])
+        seg = jnp.concatenate(
+            [seg, jnp.full((pad,), out_shape[0], jnp.int32)]
+        )
+    def body(out, sl):
+        ai, bi, sg = sl
+        prod = _xla_numeric(a_data, b_data, ai, bi, acc_dtype, precision)
+        return out.at[sg].add(prod, mode="drop"), None
+
+    ck = _XLA_PAIR_CHUNK
+    slices = (
+        a_idx.reshape(n_chunks, ck),
+        b_idx.reshape(n_chunks, ck),
+        seg.reshape(n_chunks, ck),
+    )
+    out, _ = jax.lax.scan(body, out, slices)
+    return out
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -117,6 +192,8 @@ def _xla_numeric(a_data, b_data, a_idx, b_idx, acc_dtype, precision):
         "transpose_a",
         "transpose_b",
         "precision",
+        "filter_by_norm",
+        "gemm_cap",
     ),
 )
 def spgemm(
@@ -129,13 +206,16 @@ def spgemm(
     transpose_b: bool = False,
     backend: str = "auto",
     precision: str = "highest",
+    tau: float | jax.Array = 0.0,
+    filter_by_norm: bool = False,
+    gemm_cap: int | None = None,
 ):
     """C = alpha * op(A) @ op(B); returns (C, MultiplyInfo).
 
-    `pair_cap` bounds the number of leaf GEMMs and `out_cap` the distinct
-    output blocks (static shapes — the XLA sparsity idiom).  Overflow is
-    reported in MultiplyInfo, never silent.  Use `plan_spgemm` (host) or
-    `pair_bound` to size them.
+    `pair_cap` bounds the number of enumerated block pairs and `out_cap`
+    the distinct output blocks (static shapes — the XLA sparsity idiom).
+    Overflow is reported in MultiplyInfo, never silent.  Use
+    `plan_spgemm` (host) or `pair_bound` to size them.
 
     backend: 'xla' (gather + dot_general), 'pallas' (fused
     gather-GEMM-accumulate kernel, TPU), or 'auto'.
@@ -144,6 +224,12 @@ def spgemm(
     matches the C++ reference's f32 numerics via multi-pass MXU),
     'high', or 'default' (single-pass bf16 inputs: ~2e-3 rel error,
     fastest).  Ignored for non-f32 dtypes.
+
+    Error-controlled (SpAMM-style) multiply: with `filter_by_norm=True`,
+    block pairs with ||A_ik||_F * ||B_kj||_F <= tau are skipped.  Pass
+    `gemm_cap` (sized by `plan_spamm`) to shrink the batched-GEMM shape
+    to the surviving pairs — the symbolic workspace stays `pair_cap`
+    (cheap int32), the MXU batch shrinks to `gemm_cap` (the b^3 cost).
     """
     if transpose_a:
         a = basic.transpose(a)
@@ -154,7 +240,16 @@ def spgemm(
             f"inner dims/block mismatch: {a.n_cols}x{a.block_size} vs "
             f"{b.n_rows}x{b.block_size}"
         )
-    a_idx, b_idx, c_id, total = spgemm_symbolic(a, b, pair_cap)
+    a_idx, b_idx, c_id, total, raw_total = spgemm_symbolic(
+        a, b, pair_cap, tau=tau, filter_by_norm=filter_by_norm
+    )
+    gemm_cap = pair_cap if gemm_cap is None else min(gemm_cap, pair_cap)
+    if gemm_cap < pair_cap:
+        # Survivors sort before SENTINEL padding: slicing keeps them all
+        # as long as total <= gemm_cap (overflow reported below).
+        a_idx = a_idx[:gemm_cap]
+        b_idx = b_idx[:gemm_cap]
+        c_id = c_id[:gemm_cap]
 
     first = jnp.concatenate([jnp.ones((1,), bool), c_id[1:] != c_id[:-1]])
     valid_p = c_id != SENTINEL
@@ -184,18 +279,23 @@ def spgemm(
             a.data, b.data, a_idx, b_idx, seg, out_cap, precision=precision
         )
     else:
-        prod = _xla_numeric(
-            a.data, b.data, a_idx, b_idx, acc_dtype, precision
+        out_data = _xla_numeric_accumulate(
+            a.data, b.data, a_idx, b_idx, seg,
+            (out_cap, a.block_size, b.block_size), acc_dtype, precision,
         )
-        out_data = (
-            jnp.zeros((out_cap, a.block_size, b.block_size), acc_dtype)
-            .at[seg]
-            .add(prod, mode="drop")
-        )
-    out_data = (out_data * jnp.asarray(alpha, acc_dtype)).astype(a.dtype)
     out_ids = (
         jnp.full((out_cap,), SENTINEL, jnp.int32).at[seg].set(c_id, mode="drop")
     )
+    # Zero padding slots: Pallas output windows never visited by the grid
+    # hold undefined buffer content, and the all-zero-padding invariant
+    # (core.block_matrix) is what makes whole-array reductions correct.
+    # XLA fuses this mask into the alpha-scale pass.
+    slot_valid = out_ids != SENTINEL
+    out_data = jnp.where(
+        slot_valid[:, None, None],
+        out_data * jnp.asarray(alpha, acc_dtype),
+        0,
+    ).astype(a.dtype)
     c = BlockMatrix(
         ids=out_ids,
         data=out_data,
@@ -207,7 +307,7 @@ def spgemm(
     info = MultiplyInfo(
         n_block_pairs=total,
         n_out_blocks=n_unique,
-        pair_overflow=total > pair_cap,
+        pair_overflow=(raw_total > pair_cap) | (total > gemm_cap),
         out_overflow=n_unique > out_cap,
     )
     return c, info
@@ -225,6 +325,44 @@ def plan_spgemm(a: BlockMatrix, b: BlockMatrix):
     b_ids = np.asarray(b.ids)
     return native.plan_spgemm(
         a_ids, b_ids, a.nb_cols, b.nb_rows, b.nb_cols
+    )
+
+
+def plan_spamm(a: BlockMatrix, b: BlockMatrix, tau: float):
+    """Host-side exact plan for the norm-filtered multiply: returns
+    (n_surviving_pairs, n_out_blocks) when pairs with
+    ||A_ik||*||B_kj|| <= tau are skipped."""
+    from hierarchical_block_sparse_lib_tpu.ops.norms import block_frob_squared
+    from hierarchical_block_sparse_lib_tpu.runtime import native
+
+    a_norms = np.sqrt(np.asarray(block_frob_squared(a)))
+    b_norms = np.sqrt(np.asarray(block_frob_squared(b)))
+    return native.plan_spamm(
+        np.asarray(a.ids), a_norms, np.asarray(b.ids), b_norms,
+        a.nb_cols, b.nb_rows, b.nb_cols, tau,
+    )
+
+
+def spamm(
+    a: BlockMatrix,
+    b: BlockMatrix,
+    tau: float | jax.Array,
+    pair_cap: int,
+    out_cap: int,
+    gemm_cap: int | None = None,
+    **kw,
+):
+    """Error-controlled approximate multiply C ~= A @ B skipping block
+    products with ||A_ik||_F * ||B_kj||_F <= tau (the reference lineage's
+    SpAMM primitive for purification, SURVEY.md section 1).
+
+    ||C - A@B||_F is bounded by the sum of skipped pair bounds.  Size
+    `pair_cap` with `plan_spgemm` (unfiltered enumeration workspace) and
+    `gemm_cap`/`out_cap` with `plan_spamm` (surviving MXU batch).
+    """
+    return spgemm(
+        a, b, pair_cap=pair_cap, out_cap=out_cap, tau=tau,
+        filter_by_norm=True, gemm_cap=gemm_cap, **kw,
     )
 
 

@@ -37,10 +37,18 @@ def truncate(
     semantics, SURVEY.md section 4.3); default is leaf-block truncation.
     """
     tau2 = jnp.square(jnp.asarray(tau, jnp.float32))
-    norms2 = block_frob_squared(a)
     if subtree_level is None:
-        keep = norms2 > tau2
+        if jax.default_backend() == "tpu" and a.block_size % 128 == 0:
+            # Fused norm+compare Pallas pass (BASELINE.json:5).
+            from hierarchical_block_sparse_lib_tpu.kernels.pallas_norms import (
+                norms_and_keep,
+            )
+
+            _, keep = norms_and_keep(a.data, jnp.asarray(tau, jnp.float32))
+        else:
+            keep = block_frob_squared(a) > tau2
     else:
+        norms2 = block_frob_squared(a)
         nb = max(a.nb_rows, a.nb_cols)
         depth = max(int(nb - 1).bit_length(), subtree_level)
         code = morton.encode(a.ids // a.nb_cols, a.ids % a.nb_cols)

@@ -1,0 +1,96 @@
+"""Reference-shaped OO API and serialization round-trips."""
+
+import numpy as np
+
+import hierarchical_block_sparse_lib_tpu as hbsm
+from hierarchical_block_sparse_lib_tpu.api import HierarchicalBlockSparseMatrix
+from hierarchical_block_sparse_lib_tpu.core.block_matrix import Params
+from hierarchical_block_sparse_lib_tpu.utils import generators as gen
+
+
+def _coo(n=96, bw=10, seed=0):
+    return gen.banded_coo(n, bw, seed=seed)
+
+
+def test_reference_workflow():
+    """The reference's canonical flow: set_params -> resize ->
+    assign_from_vectors -> multiply -> truncate -> extract."""
+    n = 96
+    r, c, v = _coo(n)
+    dA = gen.dense_oracle(r, c, v, n)
+
+    A = HierarchicalBlockSparseMatrix()
+    A.set_params(Params(block_size=16))
+    A.resize(n, n)
+    A.assign_from_vectors(r, c, v)
+
+    assert A.get_n_rows() == n and A.get_n_cols() == n
+    assert A.get_depth() == 3  # 96/16 = 6 blocks/side -> ceil(log2 6) = 3
+    np.testing.assert_allclose(A.to_dense(), dA, rtol=1e-6)
+    np.testing.assert_allclose(
+        A.get_frob_squared(), (dA.astype(np.float64) ** 2).sum(), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        A.get_trace(), np.trace(dA.astype(np.float64)), rtol=1e-5
+    )
+
+    C = HierarchicalBlockSparseMatrix.multiply(A, False, A, False)
+    np.testing.assert_allclose(C.to_dense(), dA @ dA, rtol=2e-5, atol=1e-5)
+    assert C.no_of_block_multiplies > 0
+
+    Ct = HierarchicalBlockSparseMatrix.multiply(A, True, A, False)
+    np.testing.assert_allclose(Ct.to_dense(), dA.T @ dA, rtol=2e-5, atol=1e-5)
+
+    S = HierarchicalBlockSparseMatrix.add(A, A, alpha=1.0, beta=2.0)
+    np.testing.assert_allclose(S.to_dense(), 3 * dA, rtol=1e-6)
+
+    A2 = A.copy()
+    A2.rescale(0.5)
+    np.testing.assert_allclose(A2.to_dense(), 0.5 * dA, rtol=1e-6)
+    np.testing.assert_allclose(A.to_dense(), dA, rtol=1e-6)  # copy isolated
+
+    T = A.get_transpose()
+    np.testing.assert_allclose(T.to_dense(), dA.T, rtol=1e-6)
+
+    nnz_before = C.get_nnz_blocks()
+    C.frob_block_trunc(1e6)
+    assert C.get_nnz_blocks() == 0 and nnz_before > 0
+
+    rr, cc, vv = A.get_all_values()
+    d2 = np.zeros((n, n), np.float32)
+    d2[rr, cc] = vv
+    np.testing.assert_allclose(d2, dA, rtol=1e-6)
+
+    got = A.get_values(r[:10], c[:10])
+    np.testing.assert_allclose(got, v[:10], rtol=1e-6)
+    # absent entries read as zero
+    assert A.get_values([0], [n - 1])[0] == 0
+
+
+def test_api_errors():
+    A = HierarchicalBlockSparseMatrix()
+    try:
+        A.get_n_rows()
+        assert False
+    except RuntimeError:
+        pass
+    assert A.empty()
+
+
+def test_save_load_roundtrip(tmp_path):
+    n = 96
+    r, c, v = _coo(n, seed=3)
+    m = hbsm.from_coo(r, c, v, n, block_size=16)
+    p = str(tmp_path / "m.npz")
+    hbsm.save(p, m)
+    m2 = hbsm.load(p)
+    np.testing.assert_array_equal(
+        np.asarray(hbsm.to_dense(m)), np.asarray(hbsm.to_dense(m2))
+    )
+    assert int(m2.nnz) == int(m.nnz)
+    # capacity override + dtype cast
+    m3 = hbsm.load(p, cap=int(m.nnz) + 7)
+    assert m3.cap == int(m.nnz) + 7
+    np.testing.assert_array_equal(
+        np.asarray(hbsm.to_dense(m)), np.asarray(hbsm.to_dense(m3))
+    )

@@ -102,7 +102,8 @@ def test_symbolic_spgemm_matches_device():
     ai_h, bi_h, cid_h, tot_h = native.symbolic_spgemm(
         np.asarray(A.ids), np.asarray(B.ids), A.nb_cols, B.nb_cols, n_pairs
     )
-    ai_d, bi_d, cid_d, tot_d = spgemm_symbolic(A, B, n_pairs)
+    ai_d, bi_d, cid_d, tot_d, raw_d = spgemm_symbolic(A, B, n_pairs)
+    assert int(raw_d) == n_pairs
     assert tot_h == int(tot_d) == n_pairs
     # Same multiset of (a_idx, b_idx, c_id) triples.
     h = sorted(zip(cid_h.tolist(), ai_h.tolist(), bi_h.tolist()))

@@ -50,3 +50,39 @@ def test_pallas_empty():
     A = hbsm.empty(64, 64, 8, cap=4)
     C, info = hbsm.spgemm(A, A, pair_cap=4, out_cap=4, backend="pallas")
     assert np.all(np.asarray(hbsm.to_dense(C)) == 0)
+
+
+@pytest.mark.parametrize("chunk", [37, 128])
+def test_gather_gemm_accumulate_chunked(chunk):
+    """Multi-chunk path: segments spanning chunk boundaries accumulate
+    exactly (carry-in aliasing), including trailing padding pairs."""
+    import jax.numpy as jnp
+    from hierarchical_block_sparse_lib_tpu.core.block_matrix import SENTINEL
+    from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm import (
+        gather_gemm_accumulate,
+    )
+    from hierarchical_block_sparse_lib_tpu.ops.spgemm import spgemm_symbolic
+
+    n, b = 160, 8
+    rng = np.random.default_rng(5)
+    d = (rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.25)).astype(
+        np.float32
+    )
+    A = hbsm.from_dense(d, block_size=b)
+    n_pairs, n_out = plan_spgemm(A, A)
+    assert n_pairs > 2 * chunk  # actually exercises multiple chunks
+    pair_cap = n_pairs + 5  # some padding pairs too
+    a_idx, b_idx, c_id, total, raw = spgemm_symbolic(A, A, pair_cap)
+    first = jnp.concatenate([jnp.ones((1,), bool), c_id[1:] != c_id[:-1]])
+    valid = c_id != SENTINEL
+    seg = jnp.where(valid, jnp.cumsum(first) - 1, n_out).astype(jnp.int32)
+
+    out_chunked = gather_gemm_accumulate(
+        A.data, A.data, a_idx, b_idx, seg, n_out, chunk=chunk
+    )
+    out_single = gather_gemm_accumulate(
+        A.data, A.data, a_idx, b_idx, seg, n_out, chunk=pair_cap
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_chunked), np.asarray(out_single), rtol=1e-6, atol=1e-6
+    )
