@@ -29,15 +29,19 @@ def polynomial(
     backend: str = "auto",
 ):
     """Horner evaluation p(A) = c0 I + c1 A + ... + cn A^n with truncation
-    after every multiply.  Returns (P, total_block_pairs)."""
+    after every multiply.  Returns (P, total_block_pairs, overflow):
+    `overflow` is True if any multiply exceeded pair_cap/out_cap (result
+    then incomplete — raise the caps)."""
     n = a.n_rows
     ident = eye(n, a.block_size, dtype=a.dtype, cap=a.nb_rows)
     acc = basic.scale(ident, coeffs[-1])
     total_pairs = jnp.zeros((), jnp.int32)
+    overflow = jnp.zeros((), bool)
     for c in reversed(coeffs[:-1]):
         acc, info = spgemm(acc, a, pair_cap=pair_cap, out_cap=out_cap, backend=backend)
         total_pairs = total_pairs + info.n_block_pairs
+        overflow = overflow | info.pair_overflow | info.out_overflow
         acc = basic.add(acc, basic.scale(ident, c))
         acc = truncate(acc, tau)
         acc = repack_mod.repack(acc, out_cap)
-    return acc, total_pairs
+    return acc, total_pairs, overflow

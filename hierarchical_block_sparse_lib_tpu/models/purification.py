@@ -36,11 +36,14 @@ class PurificationStats:
     n_block_pairs: jax.Array
     pair_overflow: jax.Array
     out_overflow: jax.Array
+    # True if the truncated iterate still exceeded the step's capacity and
+    # trailing blocks were dropped (raise `cap` or loosen tau).
+    repack_overflow: jax.Array
 
 
 @partial(
     jax.jit,
-    static_argnames=("pair_cap", "out_cap", "backend"),
+    static_argnames=("pair_cap", "out_cap", "backend", "cap"),
 )
 def sp2_step(
     x: BlockMatrix,
@@ -49,17 +52,21 @@ def sp2_step(
     out_cap: int,
     target_trace: float | jax.Array = 0.0,
     backend: str = "auto",
+    cap: int | None = None,
 ):
     """One SP2 (trace-correcting purification) step with truncation.
 
     x2 = X @ X;  X <- x2            if trace(X) > target
                  X <- 2X - x2       otherwise
-    then drop blocks with frob norm <= tau and repack to cap(x).
+    then drop blocks with frob norm <= tau and repack to `cap`
+    (default: cap(x); the iterate densifies before it re-sparsifies, so
+    size `cap` for the union support — overflow is reported in stats).
 
     Returns (X_next, PurificationStats).  The polynomial branch is a
     `lax.cond`-free linear blend (both branches share the same sparsity
     union), keeping the step a single static-shape program.
     """
+    cap = x.cap if cap is None else cap
     x2, info = spgemm(x, x, pair_cap=pair_cap, out_cap=out_cap, backend=backend)
     t = trace(x)
     take_square = t > jnp.asarray(target_trace, t.dtype)
@@ -67,13 +74,15 @@ def sp2_step(
     s = take_square.astype(x.dtype)
     y = basic.add(x2, x, alpha=2.0 * s - 1.0, beta=2.0 - 2.0 * s)
     y = truncate(y, tau)
-    y = repack_mod.repack(y, x.cap)
+    nnz_kept = y.nnz
+    y = repack_mod.repack(y, cap)
     stats = PurificationStats(
         trace=t,
         nnz_blocks=y.nnz,
         n_block_pairs=info.n_block_pairs,
         pair_overflow=info.pair_overflow,
         out_overflow=info.out_overflow,
+        repack_overflow=nnz_kept > cap,
     )
     return y, stats
 
@@ -86,11 +95,16 @@ def purify(
     out_cap: int,
     target_trace: float = 0.0,
     backend: str = "auto",
+    cap: int | None = None,
 ):
     """Run `n_steps` SP2 iterations (host loop; each step jitted).
 
-    Returns (X_final, list[PurificationStats]).
+    `cap` is the iterate's storage capacity (default out_cap: the iterate
+    densifies toward the union support before truncation re-sparsifies
+    it).  Returns (X_final, list[PurificationStats]).
     """
+    cap = out_cap if cap is None else cap
+    x = repack_mod.repack(x, cap)
     stats = []
     for _ in range(n_steps):
         x, s = sp2_step(
@@ -100,6 +114,7 @@ def purify(
             out_cap=out_cap,
             target_trace=target_trace,
             backend=backend,
+            cap=cap,
         )
         stats.append(s)
     return x, stats

@@ -1,0 +1,90 @@
+"""Purification (SP2) and matrix-polynomial model drivers vs dense oracles."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import hierarchical_block_sparse_lib_tpu as hbsm
+from hierarchical_block_sparse_lib_tpu.models.purification import purify, sp2_step
+from hierarchical_block_sparse_lib_tpu.models.polynomial import polynomial
+from hierarchical_block_sparse_lib_tpu.ops.spgemm import plan_spgemm
+
+
+def _hamiltonian(n, b, seed=0):
+    """Symmetric banded 'Hamiltonian' scaled into [0, 1] spectrum-ish."""
+    rng = np.random.default_rng(seed)
+    d = np.zeros((n, n), np.float32)
+    for k in range(-4, 5):
+        v = rng.standard_normal(n - abs(k)).astype(np.float32) * 0.3
+        d += np.diag(v, k)
+    d = (d + d.T) / 2
+    lo, hi = np.linalg.eigvalsh(d)[[0, -1]]
+    # Map spectrum to (0,1), reversed so low eigenvalues -> occupied.
+    x0 = (hi * np.eye(n, dtype=np.float32) - d) / (hi - lo)
+    return d, x0
+
+
+def test_sp2_purification_converges_to_projector():
+    n, b = 128, 16
+    nocc = 40
+    d, x0 = _hamiltonian(n, b)
+    X = hbsm.from_dense(x0, block_size=b)
+    nb = n // b
+    # Dense-bound capacities: the iterate densifies mid-purification.
+    Xf, stats = purify(
+        X, 30, tau=1e-8, pair_cap=nb**3, out_cap=nb * nb,
+        target_trace=nocc,
+    )
+    # No silent truncation at these capacities; counters populated.
+    for s in stats:
+        assert not bool(s.pair_overflow) and not bool(s.out_overflow)
+        assert not bool(s.repack_overflow)
+        assert int(s.n_block_pairs) > 0
+    got = np.asarray(hbsm.to_dense(Xf)).astype(np.float64)
+    # A projector: idempotent, trace == nocc (to the f32 noise floor).
+    assert abs(np.trace(got) - nocc) < 1e-2
+    assert np.linalg.norm(got @ got - got, "fro") < 5e-3
+    # Matches the dense spectral projector onto the lowest nocc states.
+    w, v = np.linalg.eigh(d.astype(np.float64))
+    proj = v[:, :nocc] @ v[:, :nocc].T
+    assert np.linalg.norm(got - proj, "fro") / np.linalg.norm(proj, "fro") < 5e-3
+
+
+def test_sp2_step_branches():
+    """trace > target takes X^2; trace <= target takes 2X - X^2."""
+    n, b = 64, 16
+    rng = np.random.default_rng(1)
+    x0 = np.diag(rng.uniform(0.2, 0.8, n).astype(np.float32))
+    X = hbsm.from_dense(x0, block_size=b)
+    pc, oc = plan_spgemm(X, X)
+    hi, _ = sp2_step(X, 0.0, pair_cap=pc, out_cap=oc, target_trace=0.0)
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(hi)), x0 @ x0, rtol=1e-5, atol=1e-6
+    )
+    lo, _ = sp2_step(X, 0.0, pair_cap=pc, out_cap=oc, target_trace=1e9)
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(lo)), 2 * x0 - x0 @ x0, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_polynomial_matches_dense_horner():
+    n, b = 96, 16
+    rng = np.random.default_rng(2)
+    d = (rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.2)).astype(
+        np.float32
+    ) * 0.1
+    A = hbsm.from_dense(d, block_size=b)
+    coeffs = [0.5, -1.0, 0.25, 2.0]  # p(A) = .5I - A + .25A^2 + 2A^3
+    nb = n // b
+    dense_cap = nb * nb
+    P, pairs, ovf = polynomial(
+        A, coeffs, tau=0.0, pair_cap=nb**3, out_cap=dense_cap
+    )
+    assert not bool(ovf)
+    dd = d.astype(np.float64)
+    want = (
+        0.5 * np.eye(n) - dd + 0.25 * (dd @ dd) + 2.0 * (dd @ dd @ dd)
+    )
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(P)), want, rtol=1e-4, atol=1e-5
+    )
+    assert int(pairs) > 0
