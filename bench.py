@@ -14,6 +14,19 @@ no_of_block_multiplies counter; BASELINE.json:2).
 same product DENSELY on the same chip at the same precision — the
 honest stand-in for "is the hierarchical format winning".
 
+TIMING METHODOLOGY (learned the hard way on this axon backend):
+the remote terminal caches (executable, inputs) -> result, serves warm
+repeats instantly, and `block_until_ready` does NOT actually block.
+Naive timing loops therefore measure RPC overhead, not compute.  Every
+measurement here uses
+  - a chained on-device `fori_loop` (iteration i+1's input depends on
+    iteration i's output, so nothing can be cached/CSE'd/hoisted;
+    Pallas custom-calls are opaque to DCE),
+  - a fresh never-executed input for the timed call,
+  - host materialization (`float(...)`) to force completion, and
+  - differential iteration counts: per_iter = (t(K2)-t(K1))/(K2-K1),
+    cancelling compile/RPC/dispatch constants.
+
 Block-size mapping: the reference's CPU leaves are 16/32; on TPU the
 same logical leaves are aggregated into MXU-sized 128 tiles
 (SURVEY.md section 8.5), so configs are generated at 128-block
@@ -32,17 +45,35 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timeit(fn, n_iter=10, warmup=2):
+def bench_chained(build, data0, Ks, reps=2):
+    """Per-iteration seconds of `build(d)->array` via chained differential
+    timing (see module docstring)."""
     import jax
+    import jax.numpy as jnp
 
-    for _ in range(warmup):
-        r = fn()
-    jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        r = fn()
-    jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / n_iter
+    ts = {}
+    for K in Ks:
+        def prog(d, K=K):
+            def body(i, carry):
+                d, acc = carry
+                o = build(d)
+                tick = o.ravel()[0].astype(jnp.float32) * 1e-38
+                d = d.at[(0,) * d.ndim].add(tick.astype(d.dtype))
+                return d, acc + tick
+            return jax.lax.fori_loop(0, K, body, (d, jnp.float32(0)))[1]
+
+        g = jax.jit(prog)
+        float(g(data0))  # compile + cold run
+        best = None
+        for r in range(reps):
+            fresh = data0 * (1.0 + (r + 1) * 1e-5)
+            float(fresh.ravel()[0])  # materialize the perturbed input
+            t0 = time.perf_counter()
+            float(g(fresh))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        ts[K] = best
+    return (ts[Ks[1]] - ts[Ks[0]]) / (Ks[1] - Ks[0])
 
 
 def random_block_matrix(n, b, density, seed=0, dtype=np.float32):
@@ -78,76 +109,82 @@ def banded_block_matrix(n, bw, b, seed=0):
     return m
 
 
-def bench_spgemm(A, name, n_iter=10, backend="pallas", precision="highest"):
-    import jax
+def bench_spgemm(A, name, Ks=(5, 25), precision="highest"):
+    import dataclasses
     import hierarchical_block_sparse_lib_tpu as hbsm
-    from hierarchical_block_sparse_lib_tpu.ops.spgemm import plan_spgemm
+    from hierarchical_block_sparse_lib_tpu.ops.spgemm import plan_spgemm_ex
 
-    n_pairs, n_out = plan_spgemm(A, A)
+    pc, oc, mbr, mcr = plan_spgemm_ex(A, A)
     b = A.block_size
 
-    def run():
+    def build(d):
+        m = dataclasses.replace(A, data=d)
         C, info = hbsm.spgemm(
-            A, A, pair_cap=n_pairs, out_cap=n_out,
-            backend=backend, precision=precision,
+            m, m, pair_cap=pc, out_cap=oc, row_caps=(mbr, mcr),
+            precision=precision,
         )
         return C.data
 
-    dt = timeit(run, n_iter=n_iter)
-    eff_gflops = 2 * b**3 * n_pairs / dt / 1e9
-    pairs_per_s = n_pairs / dt
+    dt = bench_chained(build, A.data, Ks)
+    eff_gflops = 2 * b**3 * pc / dt / 1e9
+    pairs_per_s = pc / dt
     log(
-        f"{name}: blocks={int(A.nnz)} pairs={n_pairs} out={n_out} "
-        f"t={dt*1e3:.2f} ms eff={eff_gflops:.1f} GFLOP/s "
-        f"nnz-block-GEMMs/s={pairs_per_s:,.0f}"
+        f"{name}: blocks={int(A.nnz)} pairs={pc} out={oc} "
+        f"row_caps=({mbr},{mcr}) t={dt*1e3:.2f} ms eff={eff_gflops:.1f} "
+        f"GFLOP/s nnz-block-GEMMs/s={pairs_per_s:,.0f}"
     )
     return dict(
-        name=name, pairs=int(n_pairs), out=int(n_out), time_s=dt,
+        name=name, pairs=int(pc), out=int(oc), time_s=dt,
         eff_gflops=eff_gflops, pairs_per_s=pairs_per_s,
     )
 
 
-def bench_dense_equiv(n, n_iter=5, precision="highest"):
+def bench_dense_equiv(n, Ks=(2, 6), precision="highest"):
     """Dense matmul of the same order, same precision: the vs_baseline."""
     import jax
     import jax.numpy as jnp
 
-    x = jnp.asarray(
-        np.random.default_rng(0).standard_normal((n, n)).astype(np.float32)
-    )
     prec = {"highest": jax.lax.Precision.HIGHEST,
             "default": jax.lax.Precision.DEFAULT}[precision]
-    f = jax.jit(lambda a: a @ a if prec is None else jnp.matmul(a, a, precision=prec))
-    dt = timeit(lambda: f(x), n_iter=n_iter)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((n, n)).astype(np.float32)
+    ) * 1e-2
+
+    def build(d):
+        return jnp.matmul(d, d, precision=prec) * 1e-2
+
+    dt = bench_chained(build, x, Ks)
     gflops = 2 * n**3 / dt / 1e9
     log(f"dense {n}x{n} ({precision}): t={dt*1e3:.2f} ms -> {gflops:.0f} GFLOP/s")
     return dt, gflops
 
 
-def bench_truncation_pipeline(n_iter=3):
-    """B3: repeated C = A*A with norm-based dropping (BASELINE.json:9)."""
-    import jax
+def bench_truncation_pipeline(Ks=(2, 8)):
+    """B3: repeated C = A*A with norm-based dropping (BASELINE.json:9),
+    5 SP2 steps per iteration, fully on-device (purify_scan)."""
+    import dataclasses
     import hierarchical_block_sparse_lib_tpu as hbsm
-    from hierarchical_block_sparse_lib_tpu.ops.spgemm import plan_spgemm
-    from hierarchical_block_sparse_lib_tpu.models.purification import sp2_step
+    from hierarchical_block_sparse_lib_tpu.ops.spgemm import plan_spgemm_ex
+    from hierarchical_block_sparse_lib_tpu.models.purification import (
+        purify_scan,
+    )
 
     n, b = 4096, 128
     A = banded_block_matrix(n, 256, b)
     A = hbsm.scale(A, 1.0 / float(np.sqrt(float(hbsm.frob_squared(A)))))
     A = hbsm.add(A, hbsm.eye(n, b), beta=0.5, cap=A.cap + n // b)
-    pc, oc = plan_spgemm(A, A)
+    pc, oc, mbr, mcr = plan_spgemm_ex(A, A)
     pair_cap, out_cap = 4 * pc, 4 * oc
 
-    def run():
-        x = A
-        for _ in range(5):
-            x, stats = sp2_step(
-                x, tau=1e-6, pair_cap=pair_cap, out_cap=out_cap,
-                target_trace=n / 2,
-            )
-        return x.data
+    def build(d):
+        x = dataclasses.replace(A, data=d)
+        xf, stats = purify_scan(
+            x, 5, tau=1e-6, pair_cap=pair_cap, out_cap=out_cap,
+            target_trace=n / 2,
+        )
+        return xf.data
 
-    dt = timeit(run, n_iter=n_iter, warmup=1)
+    dt = bench_chained(build, A.data, Ks)
     log(f"B3 truncation pipeline (5 sp2 steps @ {n}, b={b}): {dt*1e3:.1f} ms/iter")
     return dict(name="B3", time_s=dt)
 
@@ -155,7 +192,6 @@ def bench_truncation_pipeline(n_iter=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--backend", default="pallas")
     ap.add_argument("--precision", default="highest")
     args = ap.parse_args()
 
@@ -165,39 +201,31 @@ def main():
     results = {}
 
     if args.quick:
-        A2 = random_block_matrix(4096, 128, 0.05, seed=2)
-        results["B2"] = bench_spgemm(A2, "B2-quick(4096, 5%)",
-                                     backend=args.backend,
+        # Sized so per-iteration work dominates differential-timing noise.
+        A2 = random_block_matrix(8192, 128, 0.15, seed=2)
+        results["B2"] = bench_spgemm(A2, "B2-quick(8192, 15%)", Ks=(5, 45),
                                      precision=args.precision)
-        dense_t, dense_rate = bench_dense_equiv(4096, precision=args.precision)
-        dense_equiv_t = dense_t
+        dense_t, _ = bench_dense_equiv(8192, Ks=(2, 6),
+                                       precision=args.precision)
     else:
-        # B1: banded 4096^2, bandwidth 64 (logical leaf 16 -> 128 tiles)
         A1 = banded_block_matrix(4096, 64, 128)
-        results["B1"] = bench_spgemm(A1, "B1 banded(4096, bw64)",
-                                     backend=args.backend,
+        results["B1"] = bench_spgemm(A1, "B1 banded(4096, bw64)", Ks=(5, 25),
                                      precision=args.precision)
-        # B2: random block-sparse 16384^2, 5% block density
         A2 = random_block_matrix(16384, 128, 0.05, seed=2)
-        results["B2"] = bench_spgemm(A2, "B2 random(16384, 5%)",
-                                     backend=args.backend,
+        results["B2"] = bench_spgemm(A2, "B2 random(16384, 5%)", Ks=(5, 25),
                                      precision=args.precision)
-        # B3: truncation pipeline
         results["B3"] = bench_truncation_pipeline()
-        # B4: near-dense 16384^2 at 50% — batched-leaf vs pure dense GEMM
         A4 = random_block_matrix(16384, 128, 0.5, seed=4)
         results["B4"] = bench_spgemm(A4, "B4 near-dense(16384, 50%)",
-                                     n_iter=3,
-                                     backend=args.backend,
-                                     precision=args.precision)
-        dense_t, dense_rate = bench_dense_equiv(16384, precision=args.precision)
-        dense_equiv_t = dense_t
+                                     Ks=(2, 5), precision=args.precision)
+        dense_t, _ = bench_dense_equiv(16384, Ks=(2, 5),
+                                       precision=args.precision)
 
     b2 = results["B2"]
     # vs_baseline: sparse wall time vs dense wall time for the same
     # logical product (dense does 2n^3 flops; sparse does only the
     # stored-block pairs).  >1 means the hierarchical format wins.
-    vs = dense_equiv_t / b2["time_s"]
+    vs = dense_t / b2["time_s"]
     print(
         json.dumps(
             {

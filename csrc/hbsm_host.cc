@@ -134,6 +134,68 @@ void hbsm_plan_spamm(const int32_t* a_ids, const float* a_norms, int64_t na,
   out[1] = n_out;
 }
 
+// Extended SpGEMM plan for the row-panel kernel: out[0] = pairs,
+// out[1] = distinct output blocks, out[2] = max blocks in any B block-row,
+// out[3] = max distinct output blocks in any C block-row (the static
+// panel capacities of the row-panel Pallas kernel).
+void hbsm_plan_spgemm_ex(const int32_t* a_ids, int64_t na,
+                         const int32_t* b_ids, int64_t nb, int32_t a_nbc,
+                         int32_t b_nbr, int32_t b_nbc, int64_t* out) {
+  (void)b_nbr;
+  na = valid_count(a_ids, na);
+  nb = valid_count(b_ids, nb);
+  std::vector<int64_t> row_start;
+  {
+    int32_t max_row = nb ? (b_ids[nb - 1] / b_nbc) : -1;
+    row_start.assign((size_t)max_row + 2, nb);
+    int64_t i = 0;
+    for (int32_t r = 0; r <= max_row; ++r) {
+      while (i < nb && b_ids[i] / b_nbc < r) ++i;
+      row_start[(size_t)r] = i;
+    }
+    row_start[(size_t)max_row + 1] = nb;
+  }
+  const int32_t b_rows_present = (int32_t)row_start.size() - 1;
+  int64_t max_b_row = 0;
+  for (int32_t r = 0; r < b_rows_present; ++r) {
+    max_b_row = std::max(max_b_row, row_start[(size_t)r + 1] - row_start[(size_t)r]);
+  }
+
+  int64_t n_pairs = 0;
+  std::vector<int64_t> c_ids;
+  for (int64_t i = 0; i < na; ++i) {
+    const int32_t k = a_ids[i] % a_nbc;
+    if (k >= b_rows_present) continue;
+    const int64_t lo = row_start[(size_t)k];
+    const int64_t hi = row_start[(size_t)k + 1];
+    if (hi <= lo) continue;
+    const int64_t arow = a_ids[i] / a_nbc;
+    n_pairs += hi - lo;
+    for (int64_t j = lo; j < hi; ++j) {
+      c_ids.push_back(arow * (int64_t)b_nbc + b_ids[j] % b_nbc);
+    }
+  }
+  std::sort(c_ids.begin(), c_ids.end());
+  int64_t n_out = 0, max_c_row = 0, row_cnt = 0;
+  int64_t prev_row = -1;
+  for (size_t i = 0; i < c_ids.size(); ++i) {
+    if (i > 0 && c_ids[i] == c_ids[i - 1]) continue;
+    ++n_out;
+    const int64_t row = c_ids[i] / b_nbc;
+    if (row != prev_row) {
+      max_c_row = std::max(max_c_row, row_cnt);
+      row_cnt = 0;
+      prev_row = row;
+    }
+    ++row_cnt;
+  }
+  max_c_row = std::max(max_c_row, row_cnt);
+  out[0] = n_pairs;
+  out[1] = n_out;
+  out[2] = max_b_row;
+  out[3] = max_c_row;
+}
+
 // Union cardinality of two sorted, sentinel-padded id lists (exact output
 // capacity of add; the reference's structural-union walk, SURVEY.md C6).
 int64_t hbsm_plan_add(const int32_t* a_ids, int64_t na, const int32_t* b_ids,

@@ -127,6 +127,7 @@ def _call_one_chunk(
     else:
         kernel = _kernel
         io_alias = {}
+    vma = getattr(jax.typeof(a_data), "vma", frozenset())
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(pairs,),
@@ -139,7 +140,9 @@ def _call_one_chunk(
     return pl.pallas_call(
         functools.partial(kernel, precision=precision),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((out_cap + 1, b, b), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (out_cap + 1, b, b), jnp.float32, vma=vma
+        ),
         cost_estimate=pl.CostEstimate(
             flops=flops_per_pair * pairs,
             bytes_accessed=pairs * 2 * b * b * a_data.dtype.itemsize,

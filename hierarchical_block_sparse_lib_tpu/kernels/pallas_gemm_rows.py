@@ -1,0 +1,331 @@
+"""Row-panel SpGEMM kernel: panel-cached, descriptor-lean, near-roofline.
+
+Third-generation numeric phase for hierarchical SpGEMM.  The pair-stream
+kernels (`pallas_gemm.py`, `pallas_gemm_stream.py`) pay per-*pair* DMA
+descriptor costs (~1 us of scalar-core work per pair on v5e) because each
+pair gathers its own A and B blocks.  This kernel exploits the canonical
+row-major sorted layout, in which three things are **contiguous in HBM**:
+
+- the blocks of one block-row of A  (one DMA per A row),
+- the blocks of one block-row of B  (one panel DMA per stored A block),
+- the output slots of one block-row of C (one flush DMA per C row).
+
+Algorithm (grid = one step per A block-row i):
+
+  load ccol positions of C row i -> SMEM postable; zero a compact VMEM
+  accumulator panel (one slot per distinct output column of the row)
+  for each stored A block (i,k):                # A blocks of row i
+      fetch A(i,k) block + B row-k panel (contiguous, double-buffered,
+          power-of-two DMA decomposition: no overfetch, <= log2 descriptors)
+      for each stored B block (k,j) in the panel:
+          acc[postable[j]] += A(i,k) @ B(k,j)   # MXU; serial per slot
+  flush acc -> C row i's slot range (one DMA; fixed C_ROW_MAX size with
+      overstore into later rows' slots, which their own flushes rewrite —
+      flushes are issue-ordered, so the last write wins)
+
+Descriptor count ~ nnz(A) + 2*rows instead of ~3*pairs; HBM traffic drops
+to (nnz(A) + pairs + outs) * block_bytes — the roofline for this layout.
+B traffic still dominates (pairs * block); A-block reuse across its whole
+B panel is what the pair-stream design could not express.
+
+Static panel capacities (B_ROW_MAX >= max stored blocks in any B row,
+C_ROW_MAX >= max distinct outputs in any C row) come from the host
+planner (`runtime.native.plan_spgemm_ex`) and bound VMEM; `supported()`
+reports whether a problem fits this kernel (else callers fall back to
+the stream kernel).
+
+The padding tail of the output (slots [n_out, out_cap)) is untouched or
+overstored garbage — callers mask by slot validity (spgemm does).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+# VMEM budget for panels (bytes); v5e has ~16 MB less pipeline overheads.
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _bucket(n: int) -> int:
+    """Round up to a multiple of 8 (min 8) — bounds recompilation churn
+    without the up-to-2x VMEM waste of power-of-two rounding."""
+    return max(-(-n // 8) * 8, 8)
+
+
+def supported(b: int, dtype, b_row_max: int, c_row_max: int, nbc: int) -> bool:
+    """Can the row-panel kernel run this problem within VMEM/SMEM?"""
+    if b % 128 != 0:
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    bb = _bucket(max(b_row_max, 1))
+    cb = _bucket(max(c_row_max, 1))
+    vmem = (
+        2 * bb * b * b * itemsize  # B panels (double-buffered)
+        + cb * b * b * 4  # compact accumulator (f32)
+        + 2 * b * b * itemsize  # A block (double-buffered)
+    )
+    return vmem <= _VMEM_BUDGET and nbc <= 4096
+
+
+def _make_kernel(b, b_row_max, c_row_max, nbc, precision, n_rows_grid):
+    # Power-of-two DMA sizes covering every bit of any bcnt <= b_row_max.
+    chunk_sizes = [1 << k for k in range(max(b_row_max.bit_length(), 1))]
+    chunk_sizes.reverse()  # e.g. [16, 8, 4, 2, 1]
+
+    def kernel(
+        a_row_start_ref,  # SMEM int32[nbr+1]
+        a_col_ref,  # SMEM int32[capA]
+        b_row_start_ref,  # SMEM int32[nbrB+1]
+        b_col_ref,  # SMEM int32[capB]
+        c_row_start_ref,  # SMEM int32[nbr+1]
+        ccol_ref,  # SMEM int32[out_cap]
+        a_hbm,  # ANY [capA, b, b]
+        b_hbm,  # ANY [capB, b, b]
+        o_hbm,  # ANY [out_cap + c_row_max, b, b] f32
+        a_buf,  # VMEM [2, b, b]
+        b_panel,  # VMEM [2, b_row_max, b, b]
+        acc,  # VMEM [2, c_row_max, b, b] f32
+        postable,  # SMEM int32[nbc]
+        state,  # SMEM int32[4]: 0: flushes issued
+        a_sems,  # DMA [2]
+        p_sems,  # DMA [2, len(chunk_sizes)]
+        f_sems,  # DMA [2]
+    ):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            state[0] = 0
+
+        a_lo = a_row_start_ref[i]
+        a_cnt = a_row_start_ref[i + 1] - a_lo
+        c_lo = c_row_start_ref[i]
+        # Defensive clamp: with undersized row caps (symbolic overflow,
+        # already flagged by the caller) results are garbage but every
+        # access stays in bounds.
+        c_cnt = jnp.minimum(c_row_start_ref[i + 1] - c_lo, c_row_max)
+
+        def fetch_a(par, e):
+            pltpu.make_async_copy(
+                a_hbm.at[e], a_buf.at[par], a_sems.at[par]
+            ).start()
+
+        def wait_a(par):
+            pltpu.make_async_copy(
+                a_hbm.at[0], a_buf.at[par], a_sems.at[par]
+            ).wait()
+
+        def panel_op(par, blo, bcnt, do_start):
+            # Power-of-two decomposition of the contiguous B-row slice:
+            # the chunk of size s starts at offset (bcnt & ~(2s-1)).
+            for ci, s in enumerate(chunk_sizes):
+                @pl.when((bcnt & s) != 0)
+                def _(ci=ci, s=s):
+                    off = bcnt & ~(2 * s - 1)
+                    dma = pltpu.make_async_copy(
+                        b_hbm.at[pl.ds(blo + off, s)],
+                        b_panel.at[par, pl.ds(off, s)],
+                        p_sems.at[par, ci],
+                    )
+                    if do_start:
+                        dma.start()
+                    else:
+                        dma.wait()
+
+        def _panel_range(e):
+            k = a_col_ref[e]
+            blo = b_row_start_ref[k]
+            bcnt = jnp.minimum(b_row_start_ref[k + 1] - blo, b_row_max)
+            return blo, bcnt
+
+        def fetch_e(par, e):
+            fetch_a(par, e)
+            blo, bcnt = _panel_range(e)
+            panel_op(par, blo, bcnt, True)
+
+        def wait_e(par, e):
+            wait_a(par)
+            blo, bcnt = _panel_range(e)
+            panel_op(par, blo, bcnt, False)
+
+        has_work = jnp.logical_and(a_cnt > 0, c_cnt > 0)
+
+        @pl.when(has_work)
+        def _():
+            fpar = jax.lax.rem(state[0], 2)
+
+            # Build the column->slot table and zero the used accumulator
+            # slots (the rest holds stale data that overstore discards).
+            def init_slot(s, _):
+                postable[ccol_ref[c_lo + s]] = s
+                acc[fpar, s] = jnp.zeros((b, b), jnp.float32)
+                return 0
+
+            jax.lax.fori_loop(0, c_cnt, init_slot, 0)
+
+            fetch_e(0, a_lo)
+
+            def eloop(t, _):
+                par = jax.lax.rem(t, 2)
+                e = a_lo + t
+
+                @pl.when(t + 1 < a_cnt)
+                def _():
+                    fetch_e(1 - par, e + 1)
+
+                wait_e(par, e)
+                blo, bcnt = _panel_range(e)
+
+                def dotloop(t2, _):
+                    prod = jax.lax.dot_general(
+                        a_buf[par],
+                        b_panel[par, t2],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=_PRECISION[precision],
+                    )
+                    pos = jnp.clip(
+                        postable[b_col_ref[blo + t2]], 0, c_row_max - 1
+                    )
+                    acc[fpar, pos] += prod
+                    return 0
+
+                jax.lax.fori_loop(0, bcnt, dotloop, 0)
+                return 0
+
+            jax.lax.fori_loop(0, a_cnt, eloop, 0)
+
+            # Serialize flushes: later rows' flushes rewrite our overstore
+            # region, so the previous flush must drain before this issues.
+            @pl.when(state[0] >= 1)
+            def _():
+                pltpu.make_async_copy(
+                    acc.at[1 - fpar], o_hbm.at[pl.ds(0, c_row_max)],
+                    f_sems.at[1 - fpar],
+                ).wait()
+
+            pltpu.make_async_copy(
+                acc.at[fpar],
+                o_hbm.at[pl.ds(c_lo, c_row_max)],
+                f_sems.at[fpar],
+            ).start()
+            state[0] = state[0] + 1
+
+        @pl.when(i == n_rows_grid - 1)
+        def _():
+            @pl.when(state[0] >= 1)
+            def _():
+                last_par = jax.lax.rem(state[0] - 1, 2)
+                pltpu.make_async_copy(
+                    acc.at[last_par], o_hbm.at[pl.ds(0, c_row_max)],
+                    f_sems.at[last_par],
+                ).wait()
+
+        return
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nbr", "nbrB", "nbc", "out_cap", "b_row_max", "c_row_max",
+        "precision", "interpret",
+    ),
+)
+def rows_spgemm(
+    a_ids: jax.Array,  # int32[capA] sorted (SENTINEL padded)
+    a_data: jax.Array,  # [capA, b, b]
+    b_ids: jax.Array,  # int32[capB] sorted
+    b_data: jax.Array,  # [capB, b, b]
+    out_ids: jax.Array,  # int32[out_cap] sorted distinct output ids
+    nbr: int,  # A block-rows (static)
+    nbrB: int,  # B block-rows (static)
+    nbc: int,  # B block-cols (static)
+    out_cap: int,
+    b_row_max: int,
+    c_row_max: int,
+    precision: str = "highest",
+    interpret: bool | None = None,
+) -> jax.Array:
+    """f32[out_cap, b, b]: block products accumulated into the slots given
+    by `out_ids` (which must be exactly the distinct products' ids, row-
+    major sorted).  Padding slots hold garbage — callers mask."""
+    b = a_data.shape[-1]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b_row_max = _bucket(max(b_row_max, 1))
+    c_row_max = _bucket(max(c_row_max, 1))
+
+    # Row/col decomposition; SENTINEL padding maps to a row past the end
+    # so searchsorted assigns it to no real row.
+    sent = jnp.int32(jnp.iinfo(jnp.int32).max)
+    a_rowv = jnp.where(a_ids == sent, jnp.int32(nbr), a_ids // jnp.int32(nbrB))
+    # NOTE: A's column count == B's row count (nbrB); A row = id // nbcA.
+    a_row_start = jnp.searchsorted(
+        a_rowv, jnp.arange(nbr + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    a_col = jnp.where(a_ids == sent, 0, a_ids % jnp.int32(nbrB)).astype(
+        jnp.int32
+    )
+    b_rowv = jnp.where(b_ids == sent, jnp.int32(nbrB), b_ids // jnp.int32(nbc))
+    b_row_start = jnp.searchsorted(
+        b_rowv, jnp.arange(nbrB + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    b_col = jnp.where(b_ids == sent, 0, b_ids % jnp.int32(nbc)).astype(
+        jnp.int32
+    )
+    c_rowv = jnp.where(out_ids == sent, jnp.int32(nbr), out_ids // jnp.int32(nbc))
+    c_row_start = jnp.searchsorted(
+        c_rowv, jnp.arange(nbr + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    ccol = jnp.where(out_ids == sent, 0, out_ids % jnp.int32(nbc)).astype(
+        jnp.int32
+    )
+
+    kernel = _make_kernel(b, b_row_max, c_row_max, nbc, precision, nbr)
+    vma = getattr(jax.typeof(a_data), "vma", frozenset())
+    n_chunk_sizes = max(b_row_max.bit_length(), 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(nbr,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, b, b), a_data.dtype),
+            pltpu.VMEM((2, b_row_max, b, b), b_data.dtype),
+            pltpu.VMEM((2, c_row_max, b, b), jnp.float32),
+            pltpu.SMEM((nbc,), jnp.int32),
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, n_chunk_sizes)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (out_cap + c_row_max, b, b), jnp.float32, vma=vma
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        a_row_start, a_col, b_row_start, b_col, c_row_start, ccol,
+        a_data, b_data,
+    )
+    return out[:out_cap]

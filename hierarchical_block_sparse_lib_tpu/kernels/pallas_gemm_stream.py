@@ -213,6 +213,7 @@ def gather_gemm_accumulate_stream(
         seg = jnp.concatenate([seg, jnp.full((pad,), out_cap, jnp.int32)])
 
     kernel = _make_kernel(c, precision, b)
+    vma = getattr(jax.typeof(a_data), "vma", frozenset())
     flops_per_pair = 2 * b * b * b * (3 if precision == "highest" else 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -236,7 +237,9 @@ def gather_gemm_accumulate_stream(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((out_cap + 1, b, b), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (out_cap + 1, b, b), jnp.float32, vma=vma
+        ),
         cost_estimate=pl.CostEstimate(
             flops=flops_per_pair * padded,
             bytes_accessed=padded * 2 * b * b * a_data.dtype.itemsize,

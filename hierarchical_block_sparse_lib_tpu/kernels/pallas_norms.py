@@ -76,12 +76,13 @@ def block_frob_squared(
         interpret = jax.default_backend() != "tpu"
     x, n_steps, c = _pad_reshape(data, chunk)
     b = data.shape[-1]
+    vma = getattr(jax.typeof(data), "vma", frozenset())
     out = pl.pallas_call(
         _norms_kernel,
         grid=(n_steps,),
         in_specs=[pl.BlockSpec((1, c, b, b), lambda i: (i, 0, 0, 0))],
         out_specs=pl.BlockSpec((n_steps * c, 1), lambda i: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_steps * c, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_steps * c, 1), jnp.float32, vma=vma),
         interpret=interpret,
     )(x)
     return out[:cap, 0]
@@ -115,8 +116,14 @@ def norms_and_keep(
         _norms_keep_kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_steps * c, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_steps * c, 1), jnp.int32),
+            jax.ShapeDtypeStruct(
+                (n_steps * c, 1), jnp.float32,
+                vma=getattr(jax.typeof(data), "vma", frozenset()),
+            ),
+            jax.ShapeDtypeStruct(
+                (n_steps * c, 1), jnp.int32,
+                vma=getattr(jax.typeof(data), "vma", frozenset()),
+            ),
         ],
         interpret=interpret,
     )(tau2, x)

@@ -43,7 +43,7 @@ class PurificationStats:
 
 @partial(
     jax.jit,
-    static_argnames=("pair_cap", "out_cap", "backend", "cap"),
+    static_argnames=("pair_cap", "out_cap", "backend", "cap", "row_caps"),
 )
 def sp2_step(
     x: BlockMatrix,
@@ -53,6 +53,7 @@ def sp2_step(
     target_trace: float | jax.Array = 0.0,
     backend: str = "auto",
     cap: int | None = None,
+    row_caps: tuple | None = None,
 ):
     """One SP2 (trace-correcting purification) step with truncation.
 
@@ -67,7 +68,10 @@ def sp2_step(
     union), keeping the step a single static-shape program.
     """
     cap = x.cap if cap is None else cap
-    x2, info = spgemm(x, x, pair_cap=pair_cap, out_cap=out_cap, backend=backend)
+    x2, info = spgemm(
+        x, x, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
+        row_caps=row_caps,
+    )
     t = trace(x)
     take_square = t > jnp.asarray(target_trace, t.dtype)
     # X_next = s*x2 + (1-s)*(2x - x2) = (2s-1)*x2 + (2-2s)*x  with s in {0,1}
@@ -85,6 +89,47 @@ def sp2_step(
         repack_overflow=nnz_kept > cap,
     )
     return y, stats
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_steps", "pair_cap", "out_cap", "backend", "cap", "row_caps"
+    ),
+)
+def purify_scan(
+    x: BlockMatrix,
+    n_steps: int,
+    tau: float | jax.Array,
+    pair_cap: int,
+    out_cap: int,
+    target_trace: float | jax.Array = 0.0,
+    backend: str = "auto",
+    cap: int | None = None,
+    row_caps: tuple | None = None,
+):
+    """`n_steps` SP2 iterations as ONE compiled program (`lax.scan`) —
+    the whole purification pipeline stays on-device with zero host
+    round-trips.  Returns (X_final, PurificationStats stacked [n_steps])."""
+    from hierarchical_block_sparse_lib_tpu.ops import repack as repack_mod
+
+    cap = out_cap if cap is None else cap
+    x = repack_mod.repack(x, cap)
+
+    def step(x, _):
+        y, s = sp2_step(
+            x,
+            tau,
+            pair_cap=pair_cap,
+            out_cap=out_cap,
+            target_trace=target_trace,
+            backend=backend,
+            cap=cap,
+            row_caps=row_caps,
+        )
+        return y, s
+
+    return jax.lax.scan(step, x, None, length=n_steps)
 
 
 def purify(

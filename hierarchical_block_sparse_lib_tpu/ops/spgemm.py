@@ -194,6 +194,7 @@ def _xla_numeric_accumulate(
         "precision",
         "filter_by_norm",
         "gemm_cap",
+        "row_caps",
     ),
 )
 def spgemm(
@@ -209,6 +210,7 @@ def spgemm(
     tau: float | jax.Array = 0.0,
     filter_by_norm: bool = False,
     gemm_cap: int | None = None,
+    row_caps: tuple[int, int] | None = None,
 ):
     """C = alpha * op(A) @ op(B); returns (C, MultiplyInfo).
 
@@ -217,8 +219,14 @@ def spgemm(
     Overflow is reported in MultiplyInfo, never silent.  Use
     `plan_spgemm` (host) or `pair_bound` to size them.
 
-    backend: 'xla' (gather + dot_general), 'pallas' (fused
-    gather-GEMM-accumulate kernel, TPU), or 'auto'.
+    backend: 'xla' (gather + dot_general), 'pallas' (streaming
+    gather-GEMM-accumulate kernel, TPU), 'rows' (row-panel kernel —
+    fastest; needs `row_caps`), or 'auto'.
+
+    row_caps: (max_b_row, max_c_row) from `plan_spgemm_ex` — static
+    per-row capacities that let the row-panel kernel cache contiguous
+    B-row panels and C-row accumulators in VMEM.  With 'auto' on TPU,
+    providing row_caps selects the row-panel kernel when it fits.
 
     precision: MXU input precision for f32 data — 'highest' (default;
     matches the C++ reference's f32 numerics via multi-pass MXU),
@@ -257,25 +265,45 @@ def spgemm(
     seg = jnp.where(valid_p, seg, out_cap)  # trash segment -> dropped
     n_unique = jnp.sum(first & valid_p).astype(jnp.int32)
 
+    out_ids_pre = (
+        jnp.full((out_cap,), SENTINEL, jnp.int32).at[seg].set(c_id, mode="drop")
+    )
+    on_tpu = jax.default_backend() == "tpu"
     if backend == "auto":
-        use_pallas = (
-            jax.default_backend() == "tpu" and a.block_size % 8 == 0
-        )
-        if use_pallas:
-            try:
-                from hierarchical_block_sparse_lib_tpu.kernels import (
-                    pallas_gemm as _pg,  # noqa: F401
-                )
-            except ImportError:
-                use_pallas = False
-        backend = "pallas" if use_pallas else "xla"
+        from hierarchical_block_sparse_lib_tpu.kernels import pallas_gemm_rows
+
+        if (
+            on_tpu
+            and row_caps is not None
+            and not filter_by_norm
+            and pallas_gemm_rows.supported(
+                a.block_size, a.dtype, row_caps[0], row_caps[1], b.nb_cols
+            )
+        ):
+            backend = "rows"
+        elif a.block_size % (128 if on_tpu else 8) == 0:
+            backend = "pallas"
+        else:
+            backend = "xla"
     acc_dtype = jnp.promote_types(a.dtype, jnp.float32)
-    if backend == "pallas":
-        from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm import (
-            gather_gemm_accumulate,
+    if backend == "rows":
+        from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_rows import (
+            rows_spgemm,
         )
 
-        out_data = gather_gemm_accumulate(
+        if row_caps is None:
+            raise ValueError("backend='rows' requires row_caps (plan_spgemm_ex)")
+        out_data = rows_spgemm(
+            a.ids, a.data, b.ids, b.data, out_ids_pre,
+            a.nb_rows, b.nb_rows, b.nb_cols, out_cap,
+            row_caps[0], row_caps[1], precision=precision,
+        )
+    elif backend == "pallas":
+        from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_stream import (
+            gather_gemm_accumulate_stream,
+        )
+
+        out_data = gather_gemm_accumulate_stream(
             a.data, b.data, a_idx, b_idx, seg, out_cap, precision=precision
         )
     else:
@@ -283,9 +311,7 @@ def spgemm(
             a.data, b.data, a_idx, b_idx, seg,
             (out_cap, a.block_size, b.block_size), acc_dtype, precision,
         )
-    out_ids = (
-        jnp.full((out_cap,), SENTINEL, jnp.int32).at[seg].set(c_id, mode="drop")
-    )
+    out_ids = out_ids_pre
     # Zero padding slots: Pallas output windows never visited by the grid
     # hold undefined buffer content, and the all-zero-padding invariant
     # (core.block_matrix) is what makes whole-array reductions correct.
@@ -311,6 +337,19 @@ def spgemm(
         out_overflow=n_unique > out_cap,
     )
     return c, info
+
+
+def plan_spgemm_ex(a: BlockMatrix, b: BlockMatrix):
+    """Host-side exact plan: (n_pairs, n_out_blocks, max_b_row, max_c_row).
+
+    The row maxima feed `spgemm(..., row_caps=(max_b_row, max_c_row))`
+    to enable the row-panel kernel.  C++ fast path in `runtime.native`.
+    """
+    from hierarchical_block_sparse_lib_tpu.runtime import native
+
+    return native.plan_spgemm_ex(
+        np.asarray(a.ids), np.asarray(b.ids), a.nb_cols, b.nb_rows, b.nb_cols
+    )
 
 
 def plan_spgemm(a: BlockMatrix, b: BlockMatrix):

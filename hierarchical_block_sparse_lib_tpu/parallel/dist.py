@@ -192,11 +192,15 @@ def dist_spgemm(
     c_spec = dataclasses.replace(
         spec, n_rows=a.n_rows, n_cols=b.n_cols
     )
+    # check_vma=False: Pallas interpret-mode DMA emulation mixes
+    # device-varying refs with replicated index scalars, which the vma
+    # checker rejects (JAX suggests this workaround).
     f = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(spec, dataclasses.replace(spec, n_rows=b.n_rows, n_cols=b.n_cols)),
         out_specs=(c_spec, P(axis), P(axis)),
+        check_vma=False,
     )
     c, pairs, ovf = f(a, b)
     return c, pairs.sum() // max(mesh.shape[axis], 1), ovf.any()
@@ -212,7 +216,9 @@ def dist_frob_squared(m: BlockMatrix, mesh: Mesh, axis: str = "p"):
         ids=P(axis), data=P(axis), nnz=P(axis),
         n_rows=m.n_rows, n_cols=m.n_cols, block_size=m.block_size,
     )
-    out = jax.shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=P(axis))(m)
+    out = jax.shard_map(
+        body, mesh=mesh, in_specs=(spec,), out_specs=P(axis), check_vma=False
+    )(m)
     return out[0]
 
 
@@ -226,4 +232,6 @@ def dist_truncate(m: BlockMatrix, mesh: Mesh, tau, axis: str = "p"):
         ids=P(axis), data=P(axis), nnz=P(axis),
         n_rows=m.n_rows, n_cols=m.n_cols, block_size=m.block_size,
     )
-    return jax.shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=spec)(m)
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False
+    )(m)

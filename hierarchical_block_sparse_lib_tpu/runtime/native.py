@@ -56,6 +56,10 @@ def _load_lib():
     i32, i64, f64 = ctypes.c_int32, ctypes.c_int64, ctypes.c_double
     lib.hbsm_plan_spgemm.restype = None
     lib.hbsm_plan_spgemm.argtypes = [i32p, i64, i32p, i64, i32, i32, i32, i64p]
+    lib.hbsm_plan_spgemm_ex.restype = None
+    lib.hbsm_plan_spgemm_ex.argtypes = [
+        i32p, i64, i32p, i64, i32, i32, i32, i64p,
+    ]
     lib.hbsm_plan_spamm.restype = None
     lib.hbsm_plan_spamm.argtypes = [
         i32p, f32p, i64, i32p, f32p, i64, i32, i32, i32, f64, i64p,
@@ -128,6 +132,53 @@ def plan_spgemm(a_ids, b_ids, a_nbc, b_nbr, b_nbc):
         )
         return int(out[0]), int(out[1])
     return plan_spgemm_numpy(a_ids, b_ids, a_nbc, b_nbr, b_nbc)
+
+
+def plan_spgemm_ex_numpy(a_ids, b_ids, a_nbc, b_nbc):
+    """(n_pairs, n_out, max_b_row, max_c_row) — numpy fallback."""
+    a_ids = np.asarray(a_ids, np.int64)
+    b_ids = np.asarray(b_ids, np.int64)
+    a_ids = a_ids[a_ids != _SENTINEL]
+    b_ids = b_ids[b_ids != _SENTINEL]
+    a_row, a_col = a_ids // a_nbc, a_ids % a_nbc
+    b_row, b_col = b_ids // b_nbc, b_ids % b_nbc
+    max_b_row = int(np.bincount(b_row).max()) if b_ids.size else 0
+    lo = np.searchsorted(b_row, a_col, side="left")
+    hi = np.searchsorted(b_row, a_col, side="right")
+    cnt = hi - lo
+    n_pairs = int(cnt.sum())
+    offs = np.concatenate([[0], np.cumsum(cnt)])
+    out_ids = set()
+    CHUNK = 1 << 22
+    for s in range(0, n_pairs, CHUNK):
+        p = np.arange(s, min(s + CHUNK, n_pairs))
+        e = np.searchsorted(offs, p, side="right") - 1
+        t = p - offs[e]
+        cid = a_row[e] * b_nbc + b_col[lo[e] + t]
+        out_ids.update(np.unique(cid).tolist())
+    if out_ids:
+        oid = np.fromiter(out_ids, np.int64)
+        max_c_row = int(np.bincount(oid // b_nbc).max())
+    else:
+        max_c_row = 0
+    return n_pairs, len(out_ids), max_b_row, max_c_row
+
+
+def plan_spgemm_ex(a_ids, b_ids, a_nbc, b_nbr, b_nbc):
+    """Exact (n_pairs, n_out, max_b_row, max_c_row); the row maxima size
+    the row-panel kernel's static VMEM panels."""
+    lib = _load_lib()
+    a_ids = _c32(a_ids)
+    b_ids = _c32(b_ids)
+    if lib is not None:
+        out = np.zeros(4, np.int64)
+        lib.hbsm_plan_spgemm_ex(
+            _ptr32(a_ids), a_ids.size, _ptr32(b_ids), b_ids.size,
+            np.int32(a_nbc), np.int32(b_nbr), np.int32(b_nbc),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return tuple(int(v) for v in out)
+    return plan_spgemm_ex_numpy(a_ids, b_ids, a_nbc, b_nbc)
 
 
 # --------------------------------------------------------------------------

@@ -52,6 +52,47 @@ def test_pallas_empty():
     assert np.all(np.asarray(hbsm.to_dense(C)) == 0)
 
 
+@pytest.mark.parametrize("tb", [(False, False), (True, False), (False, True)])
+def test_rows_backend_matches_xla(tb):
+    """Row-panel kernel (interpret) vs XLA on a rectangular product."""
+    from hierarchical_block_sparse_lib_tpu.ops.spgemm import plan_spgemm_ex
+
+    ta, tbb = tb
+    rng = np.random.default_rng(9)
+    n, m, k, b = 96, 144, 120, 8
+    dA = (rng.standard_normal((n, k)) * (rng.random((n, k)) < 0.3)).astype(
+        np.float32
+    )
+    dB = (rng.standard_normal((k, m)) * (rng.random((k, m)) < 0.25)).astype(
+        np.float32
+    )
+    A = hbsm.from_dense(dA.T if ta else dA, block_size=b)
+    B = hbsm.from_dense(dB.T if tbb else dB, block_size=b)
+    import hierarchical_block_sparse_lib_tpu.ops.basic as basic
+
+    Ae = basic.transpose(A) if ta else A
+    Be = basic.transpose(B) if tbb else B
+    pc, oc, mbr, mcr = plan_spgemm_ex(Ae, Be)
+    C_r, info_r = hbsm.spgemm(
+        A, B, pair_cap=pc, out_cap=oc, transpose_a=ta, transpose_b=tbb,
+        backend="rows", row_caps=(mbr, mcr), alpha=0.5,
+    )
+    C_x, _ = hbsm.spgemm(
+        A, B, pair_cap=pc, out_cap=oc, transpose_a=ta, transpose_b=tbb,
+        backend="xla", alpha=0.5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(C_r)),
+        np.asarray(hbsm.to_dense(C_x)),
+        rtol=1e-6,
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(C_r)), 0.5 * (dA @ dB), rtol=2e-4, atol=1e-3
+    )
+    assert int(info_r.n_block_pairs) == pc
+
+
 @pytest.mark.parametrize("chunk", [37, 128])
 def test_gather_gemm_accumulate_chunked(chunk):
     """Multi-chunk path: segments spanning chunk boundaries accumulate
