@@ -197,6 +197,12 @@ def main():
 
     import jax
 
+    # Persistent compile cache: chained-differential timing compiles ~10
+    # programs; cached reruns skip straight to execution.
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
     results = {}
 
@@ -215,10 +221,13 @@ def main():
         results["B2"] = bench_spgemm(A2, "B2 random(16384, 5%)", Ks=(5, 25),
                                      precision=args.precision)
         results["B3"] = bench_truncation_pipeline()
-        A4 = random_block_matrix(16384, 128, 0.5, seed=4)
-        results["B4"] = bench_spgemm(A4, "B4 near-dense(16384, 50%)",
-                                     Ks=(2, 5), precision=args.precision)
-        dense_t, _ = bench_dense_equiv(16384, Ks=(2, 5),
+        # B4 at 8192^2 keeps the near-dense character within the bench's
+        # wall budget (the 16384^2 variant runs ~0.35 s/iter; see
+        # BASELINE.md — full-size needs a longer budget or more chips).
+        A4 = random_block_matrix(8192, 128, 0.5, seed=4)
+        results["B4"] = bench_spgemm(A4, "B4 near-dense(8192, 50%)",
+                                     Ks=(2, 6), precision=args.precision)
+        dense_t, _ = bench_dense_equiv(16384, Ks=(1, 3),
                                        precision=args.precision)
 
     b2 = results["B2"]

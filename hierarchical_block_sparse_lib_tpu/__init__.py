@@ -61,6 +61,7 @@ from hierarchical_block_sparse_lib_tpu.ops.spgemm import (
     MultiplyInfo,
 )
 from hierarchical_block_sparse_lib_tpu.ops.repack import repack, coarsen
+from hierarchical_block_sparse_lib_tpu.ops.matmul import matmul
 from hierarchical_block_sparse_lib_tpu.utils.serialization import save, load
 
 __all__ = [
@@ -91,6 +92,7 @@ __all__ = [
     "MultiplyInfo",
     "repack",
     "coarsen",
+    "matmul",
     "save",
     "load",
     "HierarchicalBlockSparseMatrix",

@@ -28,7 +28,7 @@ from hierarchical_block_sparse_lib_tpu.core.block_matrix import (
     BlockMatrix,
     Params,
 )
-from hierarchical_block_sparse_lib_tpu.ops.spgemm import plan_spgemm
+from hierarchical_block_sparse_lib_tpu.ops.spgemm import plan_spgemm_ex
 from hierarchical_block_sparse_lib_tpu.runtime import native
 
 
@@ -127,9 +127,10 @@ class HierarchicalBlockSparseMatrix:
             hbsm.transpose(a._m) if transpose_a else a._m
         )
         bm = hbsm.transpose(b._m) if transpose_b else b._m
-        pc, oc = plan_spgemm(am, bm)
+        pc, oc, mbr, mcr = plan_spgemm_ex(am, bm)
         cm, info = hbsm.spgemm(
-            am, bm, pair_cap=max(pc, 1), out_cap=max(oc, 1), alpha=alpha
+            am, bm, pair_cap=max(pc, 1), out_cap=max(oc, 1), alpha=alpha,
+            row_caps=(mbr, mcr),
         )
         c = HierarchicalBlockSparseMatrix(
             Params(a._params.block_size, a._params.dtype)

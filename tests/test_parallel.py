@@ -71,6 +71,54 @@ def test_dist_spgemm_random(mesh):
     )
 
 
+@pytest.fixture(scope="module")
+def mesh2d():
+    from hierarchical_block_sparse_lib_tpu.parallel import dist2d
+
+    assert len(jax.devices()) >= 4
+    return dist2d.make_mesh2d(2)
+
+
+def test_dist2d_roundtrip(mesh2d):
+    from hierarchical_block_sparse_lib_tpu.parallel import dist2d
+
+    A, dA = _matrix(seed=5)
+    Ad = dist2d.distribute2d(A, mesh2d)
+    back = dist2d.undistribute2d(Ad)
+    np.testing.assert_allclose(np.asarray(hbsm.to_dense(back)), dA, rtol=1e-6)
+    assert int(back.nnz) == int(A.nnz)
+
+
+def test_dist2d_cannon_spgemm(mesh2d):
+    from hierarchical_block_sparse_lib_tpu.parallel import dist2d
+
+    n, b = 512, 32
+    r1, c1, v1 = gen.random_block_sparse_coo(n, b, 0.15, seed=6)
+    r2, c2, v2 = gen.random_block_sparse_coo(n, b, 0.15, seed=7)
+    dA = gen.dense_oracle(r1, c1, v1, n)
+    dB = gen.dense_oracle(r2, c2, v2, n)
+    A = hbsm.from_coo(r1, c1, v1, n, block_size=b)
+    B = hbsm.from_coo(r2, c2, v2, n, block_size=b)
+    n_pairs, n_out = plan_spgemm(A, B)
+    Ad = dist2d.distribute2d(A, mesh2d)
+    Bd = dist2d.distribute2d(B, mesh2d)
+    Cd, pairs, ovf = dist2d.dist2d_spgemm(
+        Ad, Bd, mesh2d, pair_cap=max(n_pairs, 1), out_cap=max(n_out, 1),
+        alpha=0.5,
+    )
+    assert not bool(ovf)
+    assert int(pairs) == n_pairs
+    C = dist2d.undistribute2d(Cd)
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(C)), 0.5 * dA @ dB, rtol=2e-4, atol=1e-3
+    )
+    # norms + truncation on the 2D layout
+    f2 = dist2d.dist2d_frob_squared(Ad, mesh2d)
+    np.testing.assert_allclose(float(f2), float((dA**2).sum()), rtol=1e-5)
+    Td = dist2d.dist2d_truncate(Ad, mesh2d, 1e9)
+    assert int(dist2d.undistribute2d(Td).nnz) == 0
+
+
 def test_dist_frob_and_truncate(mesh):
     A, dA = _matrix(seed=3)
     Ad = dist.distribute(A, mesh)
