@@ -78,10 +78,14 @@ def supported(b: int, dtype, b_row_max: int, c_row_max: int, nbc: int) -> bool:
     return vmem <= _VMEM_BUDGET and nbc <= 4096
 
 
-def _make_kernel(b, b_row_max, c_row_max, nbc, precision, n_rows_grid):
+def _make_kernel(b, b_row_max, c_row_max, nbc, precision, n_rows_grid, out_cap):
     # Power-of-two DMA sizes covering every bit of any bcnt <= b_row_max.
     chunk_sizes = [1 << k for k in range(max(b_row_max.bit_length(), 1))]
     chunk_sizes.reverse()  # e.g. [16, 8, 4, 2, 1]
+    # Same for C-row flushes (exact pow2 decomposition: no overstore, so
+    # the output is allocated at exactly out_cap and rows never race).
+    flush_sizes = [1 << k for k in range(max(c_row_max.bit_length(), 1))]
+    flush_sizes.reverse()
 
     def kernel(
         a_row_start_ref,  # SMEM int32[nbr+1]
@@ -92,21 +96,24 @@ def _make_kernel(b, b_row_max, c_row_max, nbc, precision, n_rows_grid):
         ccol_ref,  # SMEM int32[out_cap]
         a_hbm,  # ANY [capA, b, b]
         b_hbm,  # ANY [capB, b, b]
-        o_hbm,  # ANY [out_cap + c_row_max, b, b] f32
+        o_hbm,  # ANY [out_cap, b, b] f32
         a_buf,  # VMEM [2, b, b]
         b_panel,  # VMEM [2, b_row_max, b, b]
         acc,  # VMEM [2, c_row_max, b, b] f32
         postable,  # SMEM int32[nbc]
-        state,  # SMEM int32[4]: 0: flushes issued
+        state,  # SMEM int32[4]: 0 flush ctr; 1+par: pending flush c_cnt
         a_sems,  # DMA [2]
         p_sems,  # DMA [2, len(chunk_sizes)]
-        f_sems,  # DMA [2]
+        f_sems,  # DMA [2, len(flush_sizes)]
+        z_sem,  # DMA [] (tail zero-fill)
     ):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
             state[0] = 0
+            state[1] = 0
+            state[2] = 0
 
         a_lo = a_row_start_ref[i]
         a_cnt = a_row_start_ref[i + 1] - a_lo
@@ -159,14 +166,38 @@ def _make_kernel(b, b_row_max, c_row_max, nbc, precision, n_rows_grid):
             blo, bcnt = _panel_range(e)
             panel_op(par, blo, bcnt, False)
 
+        def flush_op(par, dst_lo, cnt, do_start):
+            # Pow2 decomposition of the c_cnt-block flush; for waits the
+            # dst offset is irrelevant (the semaphore count is per size).
+            for ci, fs in enumerate(flush_sizes):
+                @pl.when((cnt & fs) != 0)
+                def _(ci=ci, fs=fs):
+                    off = cnt & ~(2 * fs - 1)
+                    dma = pltpu.make_async_copy(
+                        acc.at[par, pl.ds(off, fs)],
+                        o_hbm.at[pl.ds(dst_lo + off, fs)],
+                        f_sems.at[par, ci],
+                    )
+                    if do_start:
+                        dma.start()
+                    else:
+                        dma.wait()
+
         has_work = jnp.logical_and(a_cnt > 0, c_cnt > 0)
 
         @pl.when(has_work)
         def _():
             fpar = jax.lax.rem(state[0], 2)
 
+            # This parity's previous flush must drain before its
+            # accumulator is zeroed for reuse.
+            @pl.when(state[1 + fpar] > 0)
+            def _():
+                flush_op(fpar, 0, state[1 + fpar], False)
+                state[1 + fpar] = 0
+
             # Build the column->slot table and zero the used accumulator
-            # slots (the rest holds stale data that overstore discards).
+            # slots (never-flushed tail slots are never read).
             def init_slot(s, _):
                 postable[ccol_ref[c_lo + s]] = s
                 acc[fpar, s] = jnp.zeros((b, b), jnp.float32)
@@ -206,31 +237,34 @@ def _make_kernel(b, b_row_max, c_row_max, nbc, precision, n_rows_grid):
 
             jax.lax.fori_loop(0, a_cnt, eloop, 0)
 
-            # Serialize flushes: later rows' flushes rewrite our overstore
-            # region, so the previous flush must drain before this issues.
-            @pl.when(state[0] >= 1)
-            def _():
-                pltpu.make_async_copy(
-                    acc.at[1 - fpar], o_hbm.at[pl.ds(0, c_row_max)],
-                    f_sems.at[1 - fpar],
-                ).wait()
-
-            pltpu.make_async_copy(
-                acc.at[fpar],
-                o_hbm.at[pl.ds(c_lo, c_row_max)],
-                f_sems.at[fpar],
-            ).start()
+            # Exact-size flush: rows' slot ranges are disjoint, so
+            # flushes from different rows never race.
+            flush_op(fpar, c_lo, c_cnt, True)
+            state[1 + fpar] = c_cnt
             state[0] = state[0] + 1
 
         @pl.when(i == n_rows_grid - 1)
         def _():
-            @pl.when(state[0] >= 1)
-            def _():
-                last_par = jax.lax.rem(state[0] - 1, 2)
-                pltpu.make_async_copy(
-                    acc.at[last_par], o_hbm.at[pl.ds(0, c_row_max)],
-                    f_sems.at[last_par],
-                ).wait()
+            for par in (0, 1):
+                @pl.when(state[1 + par] > 0)
+                def _(par=par):
+                    flush_op(par, 0, state[1 + par], False)
+                    state[1 + par] = 0
+            # Zero-fill unused tail slots [n_unique, out_cap) so the
+            # all-zero-padding invariant holds without a caller-side
+            # full-array mask pass (exact planning -> zero iterations).
+            used = c_row_start_ref[n_rows_grid]
+            acc[0, 0] = jnp.zeros((b, b), jnp.float32)
+
+            def zfill(s, _):
+                dma = pltpu.make_async_copy(
+                    acc.at[0, 0], o_hbm.at[s], z_sem
+                )
+                dma.start()
+                dma.wait()
+                return 0
+
+            jax.lax.fori_loop(used, out_cap, zfill, 0)
 
         return
 
@@ -261,7 +295,10 @@ def rows_spgemm(
 ) -> jax.Array:
     """f32[out_cap, b, b]: block products accumulated into the slots given
     by `out_ids` (which must be exactly the distinct products' ids, row-
-    major sorted).  Padding slots hold garbage — callers mask."""
+    major sorted).  Tail padding slots are zero-filled in-kernel, so no
+    caller-side masking pass is needed (the all-zero-padding invariant
+    holds as long as out_ids is a correct plan; with symbolic overflow
+    the result is garbage but flagged by the caller)."""
     b = a_data.shape[-1]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -294,9 +331,10 @@ def rows_spgemm(
         jnp.int32
     )
 
-    kernel = _make_kernel(b, b_row_max, c_row_max, nbc, precision, nbr)
+    kernel = _make_kernel(b, b_row_max, c_row_max, nbc, precision, nbr, out_cap)
     vma = getattr(jax.typeof(a_data), "vma", frozenset())
     n_chunk_sizes = max(b_row_max.bit_length(), 1)
+    n_flush_sizes = max(c_row_max.bit_length(), 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(nbr,),
@@ -313,19 +351,18 @@ def rows_spgemm(
             pltpu.SMEM((4,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, n_chunk_sizes)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, n_flush_sizes)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (out_cap + c_row_max, b, b), jnp.float32, vma=vma
-        ),
+        out_shape=jax.ShapeDtypeStruct((out_cap, b, b), jnp.float32, vma=vma),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(
         a_row_start, a_col, b_row_start, b_col, c_row_start, ccol,
         a_data, b_data,
     )
-    return out[:out_cap]
+    return out

@@ -312,16 +312,25 @@ def spgemm(
             (out_cap, a.block_size, b.block_size), acc_dtype, precision,
         )
     out_ids = out_ids_pre
-    # Zero padding slots: Pallas output windows never visited by the grid
-    # hold undefined buffer content, and the all-zero-padding invariant
-    # (core.block_matrix) is what makes whole-array reductions correct.
-    # XLA fuses this mask into the alpha-scale pass.
-    slot_valid = out_ids != SENTINEL
-    out_data = jnp.where(
-        slot_valid[:, None, None],
-        out_data * jnp.asarray(alpha, acc_dtype),
-        0,
-    ).astype(a.dtype)
+    alpha_is_one = isinstance(alpha, (int, float)) and float(alpha) == 1.0
+    if backend == "rows" and alpha_is_one and a.dtype == out_data.dtype:
+        # The row-panel kernel writes every used slot exactly and
+        # zero-fills the tail in-kernel: no post-pass needed — this
+        # saves a full read+write of the output (the dominant cost of
+        # small multiplies).
+        pass
+    else:
+        # Zero padding slots: the pair-stream Pallas kernels leave
+        # never-visited output windows with undefined buffer content,
+        # and the all-zero-padding invariant (core.block_matrix) is what
+        # makes whole-array reductions correct.  XLA fuses this mask
+        # into the alpha-scale pass.
+        slot_valid = out_ids != SENTINEL
+        out_data = jnp.where(
+            slot_valid[:, None, None],
+            out_data * jnp.asarray(alpha, acc_dtype),
+            0,
+        ).astype(a.dtype)
     c = BlockMatrix(
         ids=out_ids,
         data=out_data,
