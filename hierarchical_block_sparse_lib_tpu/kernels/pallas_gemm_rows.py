@@ -54,7 +54,8 @@ _PRECISION = {
 }
 
 # VMEM budget for panels (bytes); v5e has ~16 MB less pipeline overheads.
-_VMEM_BUDGET = 12 * 1024 * 1024
+# 13.5 MB verified to compile with the (1,1) tier at b=128.
+_VMEM_BUDGET = int(13.5 * 1024 * 1024)
 
 
 def _bucket(n: int) -> int:
@@ -63,22 +64,39 @@ def _bucket(n: int) -> int:
     return max(-(-n // 8) * 8, 8)
 
 
-def supported(b: int, dtype, b_row_max: int, c_row_max: int, nbc: int) -> bool:
-    """Can the row-panel kernel run this problem within VMEM/SMEM?"""
-    if b % 128 != 0:
-        return False
+def _tier(b: int, dtype, b_row_max: int, c_row_max: int):
+    """(acc_parities, panel_parities) of the largest pipeline tier that
+    fits VMEM, or None.  Tier (2,2) fully double-buffers; (1,2) halves
+    the accumulator (each row waits its own previous flush, a few us);
+    (1,1) also single-buffers B panels (panel fetch no longer hidden —
+    ~20% at b=128, acceptable for the dense-row regimes that need it)."""
     itemsize = jnp.dtype(dtype).itemsize
     bb = _bucket(max(b_row_max, 1))
     cb = _bucket(max(c_row_max, 1))
-    vmem = (
-        2 * bb * b * b * itemsize  # B panels (double-buffered)
-        + cb * b * b * 4  # compact accumulator (f32)
-        + 2 * b * b * itemsize  # A block (double-buffered)
+    for acc_p, panel_p in ((2, 2), (1, 2), (1, 1)):
+        vmem = (
+            panel_p * bb * b * b * itemsize
+            + acc_p * cb * b * b * 4
+            + panel_p * b * b * itemsize
+        )
+        if vmem <= _VMEM_BUDGET:
+            return acc_p, panel_p
+    return None
+
+
+def supported(b: int, dtype, b_row_max: int, c_row_max: int, nbc: int) -> bool:
+    """Can the row-panel kernel run this problem within VMEM/SMEM?"""
+    return (
+        b % 128 == 0
+        and nbc <= 4096
+        and _tier(b, dtype, b_row_max, c_row_max) is not None
     )
-    return vmem <= _VMEM_BUDGET and nbc <= 4096
 
 
-def _make_kernel(b, b_row_max, c_row_max, nbc, precision, n_rows_grid, out_cap):
+def _make_kernel(
+    b, b_row_max, c_row_max, nbc, precision, n_rows_grid, out_cap,
+    acc_p, panel_p,
+):
     # Power-of-two DMA sizes covering every bit of any bcnt <= b_row_max.
     chunk_sizes = [1 << k for k in range(max(b_row_max.bit_length(), 1))]
     chunk_sizes.reverse()  # e.g. [16, 8, 4, 2, 1]
@@ -97,9 +115,9 @@ def _make_kernel(b, b_row_max, c_row_max, nbc, precision, n_rows_grid, out_cap):
         a_hbm,  # ANY [capA, b, b]
         b_hbm,  # ANY [capB, b, b]
         o_hbm,  # ANY [out_cap, b, b] f32
-        a_buf,  # VMEM [2, b, b]
-        b_panel,  # VMEM [2, b_row_max, b, b]
-        acc,  # VMEM [2, c_row_max, b, b] f32
+        a_buf,  # VMEM [panel_p, b, b]
+        b_panel,  # VMEM [panel_p, b_row_max, b, b]
+        acc,  # VMEM [acc_p, c_row_max, b, b] f32
         postable,  # SMEM int32[nbc]
         state,  # SMEM int32[4]: 0 flush ctr; 1+par: pending flush c_cnt
         a_sems,  # DMA [2]
@@ -187,7 +205,7 @@ def _make_kernel(b, b_row_max, c_row_max, nbc, precision, n_rows_grid, out_cap):
 
         @pl.when(has_work)
         def _():
-            fpar = jax.lax.rem(state[0], 2)
+            fpar = jax.lax.rem(state[0], acc_p)
 
             # This parity's previous flush must drain before its
             # accumulator is zeroed for reuse.
@@ -205,15 +223,19 @@ def _make_kernel(b, b_row_max, c_row_max, nbc, precision, n_rows_grid, out_cap):
 
             jax.lax.fori_loop(0, c_cnt, init_slot, 0)
 
-            fetch_e(0, a_lo)
+            if panel_p == 2:
+                fetch_e(0, a_lo)
 
             def eloop(t, _):
-                par = jax.lax.rem(t, 2)
+                par = jax.lax.rem(t, panel_p)
                 e = a_lo + t
 
-                @pl.when(t + 1 < a_cnt)
-                def _():
-                    fetch_e(1 - par, e + 1)
+                if panel_p == 2:
+                    @pl.when(t + 1 < a_cnt)
+                    def _():
+                        fetch_e(1 - par, e + 1)
+                else:
+                    fetch_e(0, e)
 
                 wait_e(par, e)
                 blo, bcnt = _panel_range(e)
@@ -245,7 +267,7 @@ def _make_kernel(b, b_row_max, c_row_max, nbc, precision, n_rows_grid, out_cap):
 
         @pl.when(i == n_rows_grid - 1)
         def _():
-            for par in (0, 1):
+            for par in range(acc_p):
                 @pl.when(state[1 + par] > 0)
                 def _(par=par):
                     flush_op(par, 0, state[1 + par], False)
@@ -331,7 +353,16 @@ def rows_spgemm(
         jnp.int32
     )
 
-    kernel = _make_kernel(b, b_row_max, c_row_max, nbc, precision, nbr, out_cap)
+    tier = _tier(b, a_data.dtype, b_row_max, c_row_max)
+    if tier is None:
+        raise ValueError(
+            f"row caps ({b_row_max},{c_row_max}) exceed VMEM at b={b}; "
+            "use the stream backend"
+        )
+    acc_p, panel_p = tier
+    kernel = _make_kernel(
+        b, b_row_max, c_row_max, nbc, precision, nbr, out_cap, acc_p, panel_p
+    )
     vma = getattr(jax.typeof(a_data), "vma", frozenset())
     n_chunk_sizes = max(b_row_max.bit_length(), 1)
     n_flush_sizes = max(c_row_max.bit_length(), 1)
@@ -344,14 +375,14 @@ def rows_spgemm(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, b, b), a_data.dtype),
-            pltpu.VMEM((2, b_row_max, b, b), b_data.dtype),
-            pltpu.VMEM((2, c_row_max, b, b), jnp.float32),
+            pltpu.VMEM((panel_p, b, b), a_data.dtype),
+            pltpu.VMEM((panel_p, b_row_max, b, b), b_data.dtype),
+            pltpu.VMEM((acc_p, c_row_max, b, b), jnp.float32),
             pltpu.SMEM((nbc,), jnp.int32),
             pltpu.SMEM((4,), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2, n_chunk_sizes)),
-            pltpu.SemaphoreType.DMA((2, n_flush_sizes)),
+            pltpu.SemaphoreType.DMA((panel_p,)),
+            pltpu.SemaphoreType.DMA((panel_p, n_chunk_sizes)),
+            pltpu.SemaphoreType.DMA((acc_p, n_flush_sizes)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )

@@ -93,6 +93,30 @@ def test_rows_backend_matches_xla(tb):
     assert int(info_r.n_block_pairs) == pc
 
 
+@pytest.mark.parametrize("tier", [(2, 2), (1, 2), (1, 1)])
+def test_rows_backend_pipeline_tiers(tier, monkeypatch):
+    """All VMEM pipeline tiers (acc/panel parities) produce identical
+    results; lower tiers serve dense-row problems that exceed VMEM."""
+    from hierarchical_block_sparse_lib_tpu.kernels import pallas_gemm_rows
+    from hierarchical_block_sparse_lib_tpu.ops.spgemm import plan_spgemm_ex
+
+    monkeypatch.setattr(pallas_gemm_rows, "_tier", lambda *a, **k: tier)
+    rng = np.random.default_rng(12)
+    n, b = 128, 8
+    d = (rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.4)).astype(
+        np.float32
+    )
+    A = hbsm.from_dense(d, block_size=b)
+    pc, oc, mbr, mcr = plan_spgemm_ex(A, A)
+    C, info = hbsm.spgemm(
+        A, A, pair_cap=pc, out_cap=oc, backend="rows", row_caps=(mbr, mcr)
+    )
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(C)), d @ d, rtol=2e-4, atol=1e-3
+    )
+    assert int(info.n_block_pairs) == pc
+
+
 @pytest.mark.parametrize("chunk", [37, 128])
 def test_gather_gemm_accumulate_chunked(chunk):
     """Multi-chunk path: segments spanning chunk boundaries accumulate
