@@ -95,7 +95,7 @@ def supported(b: int, dtype, b_row_max: int, c_row_max: int, nbc: int) -> bool:
 
 def _make_kernel(
     b, b_row_max, c_row_max, nbc, precision, n_rows_grid, out_cap,
-    acc_p, panel_p,
+    acc_p, panel_p, filtered,
 ):
     # Power-of-two DMA sizes covering every bit of any bcnt <= b_row_max.
     chunk_sizes = [1 << k for k in range(max(b_row_max.bit_length(), 1))]
@@ -112,19 +112,26 @@ def _make_kernel(
         b_col_ref,  # SMEM int32[capB]
         c_row_start_ref,  # SMEM int32[nbr+1]
         ccol_ref,  # SMEM int32[out_cap]
-        a_hbm,  # ANY [capA, b, b]
-        b_hbm,  # ANY [capB, b, b]
-        o_hbm,  # ANY [out_cap, b, b] f32
-        a_buf,  # VMEM [panel_p, b, b]
-        b_panel,  # VMEM [panel_p, b_row_max, b, b]
-        acc,  # VMEM [acc_p, c_row_max, b, b] f32
-        postable,  # SMEM int32[nbc]
-        state,  # SMEM int32[4]: 0 flush ctr; 1+par: pending flush c_cnt
-        a_sems,  # DMA [2]
-        p_sems,  # DMA [2, len(chunk_sizes)]
-        f_sems,  # DMA [2, len(flush_sizes)]
-        z_sem,  # DMA [] (tail zero-fill)
+        *rest,
     ):
+        if filtered:
+            # SpAMM filter operands: per-block squared norms + tau^2.
+            an2_ref, bn2_ref, tau2_ref = rest[:3]
+            rest = rest[3:]
+        (
+            a_hbm,  # ANY [capA, b, b]
+            b_hbm,  # ANY [capB, b, b]
+            o_hbm,  # ANY [out_cap, b, b] f32
+            a_buf,  # VMEM [panel_p, b, b]
+            b_panel,  # VMEM [panel_p, b_row_max, b, b]
+            acc,  # VMEM [acc_p, c_row_max, b, b] f32
+            postable,  # SMEM int32[nbc]
+            state,  # SMEM int32[4]: 0 flush ctr; 1+par pending flush cnt
+            a_sems,  # DMA [panel_p]
+            p_sems,  # DMA [panel_p, len(chunk_sizes)]
+            f_sems,  # DMA [acc_p, len(flush_sizes)]
+            z_sem,  # DMA [] (tail zero-fill)
+        ) = rest
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -241,17 +248,28 @@ def _make_kernel(
                 blo, bcnt = _panel_range(e)
 
                 def dotloop(t2, _):
-                    prod = jax.lax.dot_general(
-                        a_buf[par],
-                        b_panel[par, t2],
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=_PRECISION[precision],
-                    )
-                    pos = jnp.clip(
-                        postable[b_col_ref[blo + t2]], 0, c_row_max - 1
-                    )
-                    acc[fpar, pos] += prod
+                    def compute():
+                        prod = jax.lax.dot_general(
+                            a_buf[par],
+                            b_panel[par, t2],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=_PRECISION[precision],
+                        )
+                        pos = jnp.clip(
+                            postable[b_col_ref[blo + t2]], 0, c_row_max - 1
+                        )
+                        acc[fpar, pos] += prod
+
+                    if filtered:
+                        # Skip the MXU work for pairs below the SpAMM
+                        # bound — the exact comparison the symbolic
+                        # phase used, so out_ids stays consistent.
+                        @pl.when(an2_ref[e] * bn2_ref[blo + t2] > tau2_ref[0])
+                        def _():
+                            compute()
+                    else:
+                        compute()
                     return 0
 
                 jax.lax.fori_loop(0, bcnt, dotloop, 0)
@@ -314,6 +332,9 @@ def rows_spgemm(
     c_row_max: int,
     precision: str = "highest",
     interpret: bool | None = None,
+    a_norms2: jax.Array | None = None,  # f32[capA]: SpAMM filter
+    b_norms2: jax.Array | None = None,  # f32[capB]
+    tau2: jax.Array | None = None,  # f32[] squared threshold
 ) -> jax.Array:
     """f32[out_cap, b, b]: block products accumulated into the slots given
     by `out_ids` (which must be exactly the distinct products' ids, row-
@@ -360,14 +381,16 @@ def rows_spgemm(
             "use the stream backend"
         )
     acc_p, panel_p = tier
+    filtered = a_norms2 is not None
     kernel = _make_kernel(
-        b, b_row_max, c_row_max, nbc, precision, nbr, out_cap, acc_p, panel_p
+        b, b_row_max, c_row_max, nbc, precision, nbr, out_cap, acc_p,
+        panel_p, filtered,
     )
     vma = getattr(jax.typeof(a_data), "vma", frozenset())
     n_chunk_sizes = max(b_row_max.bit_length(), 1)
     n_flush_sizes = max(c_row_max.bit_length(), 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=6 + (3 if filtered else 0),
         grid=(nbr,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -386,14 +409,18 @@ def rows_spgemm(
             pltpu.SemaphoreType.DMA(()),
         ],
     )
+    scalar_args = [a_row_start, a_col, b_row_start, b_col, c_row_start, ccol]
+    if filtered:
+        scalar_args += [
+            a_norms2.astype(jnp.float32),
+            b_norms2.astype(jnp.float32),
+            jnp.asarray(tau2, jnp.float32).reshape(1),
+        ]
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((out_cap, b, b), jnp.float32, vma=vma),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(
-        a_row_start, a_col, b_row_start, b_col, c_row_start, ccol,
-        a_data, b_data,
-    )
+    )(*scalar_args, a_data, b_data)
     return out

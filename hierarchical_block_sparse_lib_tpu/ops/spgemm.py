@@ -275,7 +275,6 @@ def spgemm(
         if (
             on_tpu
             and row_caps is not None
-            and not filter_by_norm
             and pallas_gemm_rows.supported(
                 a.block_size, a.dtype, row_caps[0], row_caps[1], b.nb_cols
             )
@@ -293,10 +292,24 @@ def spgemm(
 
         if row_caps is None:
             raise ValueError("backend='rows' requires row_caps (plan_spgemm_ex)")
+        if filter_by_norm:
+            # Same norms/threshold the symbolic phase used, so the
+            # kernel's skip decisions match out_ids exactly.
+            from hierarchical_block_sparse_lib_tpu.ops.norms import (
+                block_frob_squared as _bfs,
+            )
+
+            fkw = dict(
+                a_norms2=_bfs(a),
+                b_norms2=_bfs(b),
+                tau2=jnp.square(jnp.asarray(tau, jnp.float32)),
+            )
+        else:
+            fkw = {}
         out_data = rows_spgemm(
             a.ids, a.data, b.ids, b.data, out_ids_pre,
             a.nb_rows, b.nb_rows, b.nb_cols, out_cap,
-            row_caps[0], row_caps[1], precision=precision,
+            row_caps[0], row_caps[1], precision=precision, **fkw,
         )
     elif backend == "pallas":
         from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_stream import (

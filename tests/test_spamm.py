@@ -78,6 +78,33 @@ def test_spamm_tau_zero_is_exact():
     assert int(info.n_block_pairs) == pc
 
 
+def test_spamm_rows_backend_matches_xla():
+    """Filtered row-panel kernel (interpret) == filtered XLA path."""
+    from hierarchical_block_sparse_lib_tpu.ops.spgemm import plan_spgemm_ex
+
+    n, b, tau = 192, 8, 5e-2
+    da = _random_sparse(n, b, 0.3, 10)
+    db = _random_sparse(n, b, 0.3, 11)
+    A = hbsm.from_dense(da, block_size=b)
+    B = hbsm.from_dense(db, block_size=b)
+    pc, oc, mbr, mcr = plan_spgemm_ex(A, B)
+    C_r, info_r = hbsm.spgemm(
+        A, B, pair_cap=pc, out_cap=oc, tau=tau, filter_by_norm=True,
+        backend="rows", row_caps=(mbr, mcr),
+    )
+    C_x, info_x = hbsm.spgemm(
+        A, B, pair_cap=pc, out_cap=oc, tau=tau, filter_by_norm=True,
+        backend="xla",
+    )
+    assert int(info_r.n_block_pairs) == int(info_x.n_block_pairs) < pc
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(C_r)),
+        np.asarray(hbsm.to_dense(C_x)),
+        rtol=1e-5,
+        atol=1e-5,
+    )
+
+
 def test_spamm_overflow_reported_when_gemm_cap_too_small():
     n, b = 128, 16
     da = _random_sparse(n, b, 0.3, 4, scale_spread=False)
