@@ -235,3 +235,116 @@ def dist_truncate(m: BlockMatrix, mesh: Mesh, tau, axis: str = "p"):
     return jax.shard_map(
         body, mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False
     )(m)
+
+
+def dist_trace(m: BlockMatrix, mesh: Mesh, axis: str = "p"):
+    """Global trace: local diagonal-block traces + psum."""
+    from hierarchical_block_sparse_lib_tpu.ops.norms import trace as _trace
+
+    def body(m_l):
+        return jax.lax.psum(_trace(_local(m_l)), axis)[None]
+
+    spec = BlockMatrix(
+        ids=P(axis), data=P(axis), nnz=P(axis),
+        n_rows=m.n_rows, n_cols=m.n_cols, block_size=m.block_size,
+    )
+    out = jax.shard_map(
+        body, mesh=mesh, in_specs=(spec,), out_specs=P(axis), check_vma=False
+    )(m)
+    return out[0]
+
+
+def dist_sp2_step(
+    x: BlockMatrix,
+    mesh: Mesh,
+    tau,
+    pair_cap: int,
+    out_cap: int,
+    stage_out_cap: int | None = None,
+    target_trace=0.0,
+    axis: str = "p",
+    backend: str = "auto",
+    precision: str = "highest",
+    cap: int | None = None,
+):
+    """One distributed SP2 purification step (the flagship workload of
+    BASELINE.json:9 over the mesh): ring-SUMMA X@X with overlapped
+    ppermute transfers, trace-selected polynomial blend, fully-local
+    norm truncation, all inside one shard_map program.
+
+    The row partition makes every non-multiply op device-local: C's
+    block-row i comes only from X's block-row i (add/truncate/repack
+    local), and the trace needs one psum.  Returns
+    (X_next distributed, stats dict of scalars).
+    """
+    from hierarchical_block_sparse_lib_tpu.ops import repack as repack_mod
+    from hierarchical_block_sparse_lib_tpu.ops.norms import trace as _trace
+    from hierarchical_block_sparse_lib_tpu.ops.spgemm import spgemm as _spgemm
+
+    n_dev = mesh.shape[axis]
+    stage_out_cap = stage_out_cap or out_cap
+    # Per-device iterate capacity: the truncated iterate densifies toward
+    # the union support before re-sparsifying, so default to out_cap
+    # (the step result's own capacity), not the input's local cap.
+    x_cap = out_cap if cap is None else cap
+
+    def body(x_l):
+        x_loc = _local(x_l)
+        t = jax.lax.psum(_trace(x_loc), axis)
+        # Ring-SUMMA X @ X: A-role = resident row slab, B-role rotates.
+        c = assembly.empty(
+            x_loc.n_rows, x_loc.n_cols, x_loc.block_size, out_cap,
+            dtype=x_loc.dtype,
+        )
+        _vary = lambda v: jax.lax.pcast(v, (axis,), to="varying")  # noqa: E731
+        c = jax.tree.map(_vary, c)
+        pairs = _vary(jnp.zeros((), jnp.int32))
+        ovf = _vary(jnp.zeros((), bool))
+        b_cur = x_loc
+
+        def stage(_, carry):
+            c, b_cur, pairs, ovf = carry
+            b_nxt = _ppermute_next(b_cur, axis)
+            c_s, info = _spgemm(
+                x_loc, b_cur, pair_cap=pair_cap, out_cap=stage_out_cap,
+                backend=backend, precision=precision,
+            )
+            c = basic.add(c, c_s, cap=out_cap)
+            pairs = pairs + info.n_block_pairs
+            ovf = ovf | info.pair_overflow | info.out_overflow
+            return c, b_nxt, pairs, ovf
+
+        x2, _, pairs, ovf = jax.lax.fori_loop(
+            0, n_dev, stage, (c, b_cur, pairs, ovf)
+        )
+        # X_next = (2s-1)*X^2 + (2-2s)*X, s = [trace > target] (the same
+        # lax.cond-free blend as the single-chip sp2_step).
+        s = (t > jnp.asarray(target_trace, t.dtype)).astype(x_loc.dtype)
+        y = basic.add(x2, x_loc, alpha=2.0 * s - 1.0, beta=2.0 - 2.0 * s)
+        y = truncate(y, tau)
+        nnz_kept = y.nnz
+        y = repack_mod.repack(y, x_cap)
+        # (output spec cap == x_cap regardless of the input's local cap)
+        total_pairs = jax.lax.psum(pairs, axis)
+        any_ovf = (
+            jax.lax.pmax(
+                (ovf | (nnz_kept > x_cap)).astype(jnp.int32), axis
+            ) > 0
+        )
+        return _relift(y), t[None], total_pairs[None], any_ovf[None]
+
+    spec = BlockMatrix(
+        ids=P(axis), data=P(axis), nnz=P(axis),
+        n_rows=x.n_rows, n_cols=x.n_cols, block_size=x.block_size,
+    )
+    f = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec,),
+        out_specs=(spec, P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+    y, t, pairs, ovf = f(x)
+    return y, dict(
+        trace=t[0], n_block_pairs=pairs[0], overflow=ovf.reshape(-1)[0] > 0
+    )

@@ -71,6 +71,49 @@ def test_dist_spgemm_random(mesh):
     )
 
 
+def test_dist_sp2_step_matches_single_device(mesh):
+    """Distributed purification step == single-device sp2_step."""
+    from hierarchical_block_sparse_lib_tpu.models.purification import sp2_step
+    from hierarchical_block_sparse_lib_tpu.ops.spgemm import plan_spgemm
+
+    n, b = 512, 32
+    A, dA = _matrix(n=n, b=b, bw=48, seed=9)
+    X = hbsm.scale(A, 1.0 / float(np.sqrt(float(hbsm.frob_squared(A)))))
+    X = hbsm.add(X, hbsm.eye(n, b), beta=0.5, cap=X.cap + n // b)
+    pc, oc = plan_spgemm(X, X)
+
+    y_ref, stats_ref = sp2_step(
+        X, tau=1e-7, pair_cap=2 * pc, out_cap=2 * oc, target_trace=n / 2,
+        cap=2 * oc,
+    )
+
+    Xd = dist.distribute(hbsm.repack(X, 2 * oc), mesh)
+    yd, stats = dist_mod_sp2(Xd, mesh, pc, oc, n)
+    assert not bool(stats["overflow"])
+    np.testing.assert_allclose(
+        float(stats["trace"]), float(stats_ref.trace), rtol=1e-5
+    )
+    assert int(stats["n_block_pairs"]) == int(stats_ref.n_block_pairs)
+    y = dist.undistribute(yd)
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(y)),
+        np.asarray(hbsm.to_dense(y_ref)),
+        rtol=2e-5,
+        atol=1e-5,
+    )
+    # trace helper too
+    np.testing.assert_allclose(
+        float(dist.dist_trace(Xd, mesh)), float(hbsm.trace(X)), rtol=1e-5
+    )
+
+
+def dist_mod_sp2(Xd, mesh, pc, oc, n):
+    return dist.dist_sp2_step(
+        Xd, mesh, tau=1e-7, pair_cap=2 * pc, out_cap=2 * oc,
+        stage_out_cap=2 * oc, target_trace=n / 2,
+    )
+
+
 @pytest.fixture(scope="module")
 def mesh2d():
     from hierarchical_block_sparse_lib_tpu.parallel import dist2d
