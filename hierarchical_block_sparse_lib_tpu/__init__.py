@@ -62,6 +62,7 @@ from hierarchical_block_sparse_lib_tpu.ops.spgemm import (
 )
 from hierarchical_block_sparse_lib_tpu.ops.repack import repack, coarsen
 from hierarchical_block_sparse_lib_tpu.ops.matmul import matmul
+from hierarchical_block_sparse_lib_tpu.ops.spmm import spmm, spmv
 from hierarchical_block_sparse_lib_tpu.utils.serialization import save, load
 
 __all__ = [
@@ -93,6 +94,8 @@ __all__ = [
     "repack",
     "coarsen",
     "matmul",
+    "spmm",
+    "spmv",
     "save",
     "load",
     "HierarchicalBlockSparseMatrix",

@@ -61,3 +61,24 @@ def test_bf16_spgemm():
     np.testing.assert_allclose(f2, (d.astype(np.float64) ** 2).sum(), rtol=0.02)
     T = hbsm.truncate(A16, 1e9)
     assert int(T.nnz) == 0
+
+
+def test_spmm_spmv():
+    n, m, b = 144, 48, 16
+    rng = np.random.default_rng(2)
+    d = (rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.25)).astype(
+        np.float32
+    )
+    A = hbsm.from_dense(d, block_size=b)
+    X = rng.standard_normal((n, m)).astype(np.float32)
+    Y = np.asarray(hbsm.spmm(A, jnp.asarray(X), alpha=0.5))
+    np.testing.assert_allclose(Y, 0.5 * d @ X, rtol=2e-5, atol=2e-5)
+    v = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(hbsm.spmv(A, jnp.asarray(v)))
+    np.testing.assert_allclose(y, d @ v, rtol=2e-5, atol=2e-5)
+    # non-multiple-of-block row count on the RHS side of the padding
+    d2 = d[:, : n - 8]
+    A2 = hbsm.from_dense(d2, block_size=b)
+    X2 = rng.standard_normal((n - 8, m)).astype(np.float32)
+    Y2 = np.asarray(hbsm.spmm(A2, jnp.asarray(X2)))
+    np.testing.assert_allclose(Y2, d2 @ X2, rtol=2e-5, atol=2e-5)
