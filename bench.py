@@ -214,21 +214,39 @@ def main():
         dense_t, _ = bench_dense_equiv(8192, Ks=(2, 6),
                                        precision=args.precision)
     else:
-        A1 = banded_block_matrix(4096, 64, 128)
-        results["B1"] = bench_spgemm(A1, "B1 banded(4096, bw64)", Ks=(5, 25),
-                                     precision=args.precision)
+        # Headline inputs (B2 + dense baseline) first, so the JSON line
+        # survives even if a later stage exceeds the wall budget.
         A2 = random_block_matrix(16384, 128, 0.05, seed=2)
         results["B2"] = bench_spgemm(A2, "B2 random(16384, 5%)", Ks=(5, 25),
                                      precision=args.precision)
-        results["B3"] = bench_truncation_pipeline()
-        # B4 at 8192^2 keeps the near-dense character within the bench's
-        # wall budget (the 16384^2 variant runs ~0.35 s/iter; see
-        # BASELINE.md — full-size needs a longer budget or more chips).
-        A4 = random_block_matrix(8192, 128, 0.5, seed=4)
-        results["B4"] = bench_spgemm(A4, "B4 near-dense(8192, 50%)",
-                                     Ks=(2, 6), precision=args.precision)
         dense_t, _ = bench_dense_equiv(16384, Ks=(1, 3),
                                        precision=args.precision)
+        for stage in (
+            lambda: results.__setitem__(
+                "B1",
+                bench_spgemm(
+                    banded_block_matrix(4096, 64, 128),
+                    "B1 banded(4096, bw64)", Ks=(5, 25),
+                    precision=args.precision,
+                ),
+            ),
+            lambda: results.__setitem__("B3", bench_truncation_pipeline()),
+            # B4 at 8192^2 keeps the near-dense character within the
+            # bench's wall budget (16384^2 runs ~0.26 s/iter on the
+            # row-panel kernel; see BASELINE.md).
+            lambda: results.__setitem__(
+                "B4",
+                bench_spgemm(
+                    random_block_matrix(8192, 128, 0.5, seed=4),
+                    "B4 near-dense(8192, 50%)", Ks=(2, 6),
+                    precision=args.precision,
+                ),
+            ),
+        ):
+            try:
+                stage()
+            except Exception as e:  # noqa: BLE001 - never lose the JSON
+                log(f"stage failed: {e!r}")
 
     b2 = results["B2"]
     # vs_baseline: sparse wall time vs dense wall time for the same

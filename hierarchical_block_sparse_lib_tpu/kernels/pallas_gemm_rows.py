@@ -393,10 +393,10 @@ def rows_spgemm(
         num_scalar_prefetch=6 + (3 if filtered else 0),
         grid=(nbr,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((panel_p, b, b), a_data.dtype),
             pltpu.VMEM((panel_p, b_row_max, b, b), b_data.dtype),

@@ -222,10 +222,10 @@ def gather_gemm_accumulate_stream(
             pl.BlockSpec((c,), lambda i: (i,), memory_space=pltpu.SMEM),
             pl.BlockSpec((c,), lambda i: (i,), memory_space=pltpu.SMEM),
             pl.BlockSpec((c,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((DEPTH, 2, b, b), a_data.dtype),
             pltpu.VMEM((2, b, b), jnp.float32),
