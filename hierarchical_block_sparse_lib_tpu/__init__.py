@@ -41,6 +41,7 @@ from hierarchical_block_sparse_lib_tpu.core.assembly import (
 )
 from hierarchical_block_sparse_lib_tpu.ops.basic import (
     add,
+    add_with_info,
     scale,
     transpose,
 )
@@ -77,6 +78,7 @@ __all__ = [
     "empty",
     "eye",
     "add",
+    "add_with_info",
     "scale",
     "transpose",
     "frob_squared",

@@ -20,18 +20,17 @@ from hierarchical_block_sparse_lib_tpu.core.block_matrix import (
 )
 
 
-def add(
+def add_with_info(
     a: BlockMatrix,
     b: BlockMatrix,
     alpha: float | jax.Array = 1.0,
     beta: float | jax.Array = 1.0,
     cap: int | None = None,
-) -> BlockMatrix:
+):
     """C = alpha*A + beta*B by structural union (SURVEY.md C6).
 
-    Output capacity defaults to cap(A)+cap(B); pass `cap` to bound it
-    (overflow drops blocks — use `truncate` + `repack` in loops to keep
-    nnz within capacity).
+    Returns (C, overflow): `overflow` is True iff the union exceeded
+    `cap` and trailing (highest-id) blocks were dropped.
     """
     if (a.n_rows, a.n_cols) != (b.n_rows, b.n_cols):
         raise ValueError("shape mismatch")
@@ -43,10 +42,27 @@ def add(
     beta = jnp.asarray(beta, b.dtype)
     data = jnp.concatenate([a.data * alpha, b.data * beta])
     out_ids, out_data, nnz = compact_sorted(ids, data, cap)
-    return BlockMatrix(
-        ids=out_ids, data=out_data, nnz=nnz,
+    overflow = nnz > cap
+    c = BlockMatrix(
+        ids=out_ids, data=out_data, nnz=jnp.minimum(nnz, cap),
         n_rows=a.n_rows, n_cols=a.n_cols, block_size=a.block_size,
     )
+    return c, overflow
+
+
+def add(
+    a: BlockMatrix,
+    b: BlockMatrix,
+    alpha: float | jax.Array = 1.0,
+    beta: float | jax.Array = 1.0,
+    cap: int | None = None,
+) -> BlockMatrix:
+    """C = alpha*A + beta*B by structural union (SURVEY.md C6).
+
+    Output capacity defaults to cap(A)+cap(B) (never overflows); with a
+    bounded `cap`, use `add_with_info` to detect dropped blocks.
+    """
+    return add_with_info(a, b, alpha=alpha, beta=beta, cap=cap)[0]
 
 
 def scale(a: BlockMatrix, alpha) -> BlockMatrix:

@@ -171,9 +171,9 @@ def dist_spgemm(
                 backend=backend,
                 precision=precision,
             )
-            c = basic.add(c, c_s, cap=out_cap)
+            c, add_ovf = basic.add_with_info(c, c_s, cap=out_cap)
             pairs = pairs + info.n_block_pairs
-            ovf = ovf | info.pair_overflow | info.out_overflow
+            ovf = ovf | info.pair_overflow | info.out_overflow | add_ovf
             return c, b_nxt, pairs, ovf
 
         c, _, pairs, ovf = jax.lax.fori_loop(
@@ -309,9 +309,9 @@ def dist_sp2_step(
                 x_loc, b_cur, pair_cap=pair_cap, out_cap=stage_out_cap,
                 backend=backend, precision=precision,
             )
-            c = basic.add(c, c_s, cap=out_cap)
+            c, add_ovf = basic.add_with_info(c, c_s, cap=out_cap)
             pairs = pairs + info.n_block_pairs
-            ovf = ovf | info.pair_overflow | info.out_overflow
+            ovf = ovf | info.pair_overflow | info.out_overflow | add_ovf
             return c, b_nxt, pairs, ovf
 
         x2, _, pairs, ovf = jax.lax.fori_loop(

@@ -134,3 +134,26 @@ def test_coarsen():
     assert C.block_size == 16
     np.testing.assert_allclose(np.asarray(hbsm.to_dense(C)), dA, rtol=1e-6)
     assert int(C.nnz) <= int(A.nnz)
+
+
+def test_add_with_info_overflow():
+    import hierarchical_block_sparse_lib_tpu as hbsm
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    d1 = (rng.standard_normal((64, 64)) * (rng.random((64, 64)) < 0.4)).astype(
+        np.float32
+    )
+    d2 = (rng.standard_normal((64, 64)) * (rng.random((64, 64)) < 0.4)).astype(
+        np.float32
+    )
+    A = hbsm.from_dense(d1, block_size=8)
+    B = hbsm.from_dense(d2, block_size=8)
+    big = int(A.nnz) + int(B.nnz)
+    C, ovf = hbsm.add_with_info(A, B, cap=big)
+    assert not bool(ovf)
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(C)), d1 + d2, rtol=1e-6, atol=1e-6
+    )
+    _, ovf2 = hbsm.add_with_info(A, B, cap=2)
+    assert bool(ovf2)
