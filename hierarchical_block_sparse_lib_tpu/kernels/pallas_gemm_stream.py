@@ -42,7 +42,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 _PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
-    "high": jax.lax.Precision.HIGH,
+    # Mosaic's dot lowering supports only DEFAULT/HIGHEST; 'high' maps to
+    # HIGHEST here (the XLA backend honors true HIGH).
+    "high": jax.lax.Precision.HIGHEST,
     "highest": jax.lax.Precision.HIGHEST,
 }
 
