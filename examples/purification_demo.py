@@ -53,7 +53,12 @@ def main():
 
     pc, oc, mbr, mcr = plan_spgemm_ex(X, X)
     nb = -(-n // b)
-    pair_cap, out_cap = min(4 * pc, nb**3), min(4 * oc, nb * nb)
+    # The iterate densifies mid-purification before truncation
+    # re-sparsifies it: budget for the dense bound when it is small,
+    # else a generous multiple of the initial plan.
+    pair_cap = min(nb**3, max(16 * pc, 1))
+    out_cap = min(nb * nb, max(16 * oc, 1))
+    mbr, mcr = min(nb, 8 * mbr), min(nb, 8 * mcr)
 
     cnt = Counters()
     with cnt.timed():
@@ -72,8 +77,8 @@ def main():
     print(f"steps=40  trace={np.trace(got):.3f}  ||X^2-X||_F={idem:.2e}")
     print(
         f"block multiplies={cnt.n_block_multiplies:,}  "
-        f"wall={cnt.wall_s:.2f}s  "
-        f"effective GFLOP/s={cnt.effective_gflops(b):,.0f}"
+        f"wall={cnt.wall_s:.2f}s (includes compilation; see bench.py "
+        "for honest steady-state timing)"
     )
     proj = None
     if n <= 4096:
