@@ -62,7 +62,7 @@ from hierarchical_block_sparse_lib_tpu.ops.spgemm import (
     MultiplyInfo,
 )
 from hierarchical_block_sparse_lib_tpu.ops.repack import repack, coarsen
-from hierarchical_block_sparse_lib_tpu.ops.matmul import matmul
+from hierarchical_block_sparse_lib_tpu.ops.matmul import matmul, syrk
 from hierarchical_block_sparse_lib_tpu.ops.spmm import spmm, spmv
 from hierarchical_block_sparse_lib_tpu.utils.serialization import save, load
 
@@ -96,6 +96,7 @@ __all__ = [
     "repack",
     "coarsen",
     "matmul",
+    "syrk",
     "spmm",
     "spmv",
     "save",

@@ -1,0 +1,96 @@
+"""Inverse-factor / inverse-square-root iterations over block-sparse
+matrices.
+
+The reference's research lineage pairs density-matrix purification with
+*inverse factorization* of the overlap matrix S (computing Z ~= S^{-1/2}
+so the generalized eigenproblem becomes standard; Artemov's localized
+inverse-factor refinement — SURVEY.md sections 1 and 9.2).  The TPU
+formulation is the Newton-Schulz iteration expressed entirely in the
+framework's primitives (spgemm / add / scale / truncate), with
+norm-based truncation keeping the iterates sparse:
+
+    Y_0 = S,  Z_0 = I / theta      (theta ~ ||S||, ensures convergence)
+    T_k     = (3 I - Z_k Y_k Z_k) / 2          (computed via 2 SpGEMMs)
+    Z_{k+1} = Z_k T_k ;  converges quadratically to S^{-1/2} (times a
+    scalar fold), as long as ||I - Z_0^2 S|| < 1.
+
+All steps are jittable at fixed capacities; overflow is reported.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from hierarchical_block_sparse_lib_tpu.core.block_matrix import BlockMatrix
+from hierarchical_block_sparse_lib_tpu.core.assembly import eye
+from hierarchical_block_sparse_lib_tpu.ops import basic, repack as repack_mod
+from hierarchical_block_sparse_lib_tpu.ops.spgemm import spgemm
+from hierarchical_block_sparse_lib_tpu.ops.truncate import truncate
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_steps", "pair_cap", "out_cap", "backend", "row_caps"),
+)
+def inv_sqrt_newton_schulz(
+    s: BlockMatrix,
+    theta: float | jax.Array,
+    n_steps: int,
+    tau: float | jax.Array,
+    pair_cap: int,
+    out_cap: int,
+    backend: str = "auto",
+    row_caps: tuple | None = None,
+):
+    """Z ~= S^{-1/2} by Newton-Schulz with per-step truncation.
+
+    `theta` must satisfy theta > ||S||_2 / sqrt(3) for convergence of
+    Z_0 = I/sqrt(theta) (any upper bound on ||S||_2 works; e.g. a
+    Frobenius norm).  Returns (Z, total_block_pairs, overflow).
+    """
+    n = s.n_rows
+    b = s.block_size
+    ident_cap = -(-n // b)
+    z = basic.scale(
+        eye(n, b, dtype=s.dtype, cap=out_cap),
+        1.0 / jnp.sqrt(jnp.asarray(theta, jnp.float32)).astype(s.dtype),
+    )
+    total = jnp.zeros((), jnp.int32)
+    ovf = jnp.zeros((), bool)
+
+    def step(carry, _):
+        z, total, ovf = carry
+        zy, i1 = spgemm(
+            z, s, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
+            row_caps=row_caps,
+        )
+        zyz, i2 = spgemm(
+            zy, z, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
+            row_caps=row_caps,
+        )
+        # T = (3I - ZYZ)/2 ; Z <- Z T
+        t = basic.add(
+            eye(n, b, dtype=s.dtype, cap=ident_cap), zyz,
+            alpha=1.5, beta=-0.5,
+        )
+        t = repack_mod.repack(t, out_cap)
+        z2, i3 = spgemm(
+            z, t, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
+            row_caps=row_caps,
+        )
+        z2 = truncate(z2, tau)
+        nnz_kept = z2.nnz
+        z2 = repack_mod.repack(z2, out_cap)
+        total = total + i1.n_block_pairs + i2.n_block_pairs + i3.n_block_pairs
+        for i in (i1, i2, i3):
+            ovf = ovf | i.pair_overflow | i.out_overflow
+        ovf = ovf | (nnz_kept > out_cap)
+        return (z2, total, ovf), None
+
+    (z, total, ovf), _ = jax.lax.scan(
+        step, (z, total, ovf), None, length=n_steps
+    )
+    return z, total, ovf

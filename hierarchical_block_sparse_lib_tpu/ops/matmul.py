@@ -46,3 +46,24 @@ def matmul(
         backend=backend,
         row_caps=(mbr, mcr),
     )
+
+
+def syrk(
+    a: BlockMatrix,
+    alpha: float | jax.Array = 1.0,
+    transpose: bool = False,
+    precision: str = "highest",
+    backend: str = "auto",
+):
+    """Symmetric rank-k product: C = alpha * A @ A^T (or A^T @ A with
+    `transpose=True`) — the reference-style symm/rank-k convenience
+    (SURVEY.md section 9.2) over the same planned multiply.
+    Returns (C, MultiplyInfo)."""
+    return matmul(
+        a, a,
+        alpha=alpha,
+        transpose_a=transpose,
+        transpose_b=not transpose,
+        precision=precision,
+        backend=backend,
+    )

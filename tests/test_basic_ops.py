@@ -157,3 +157,23 @@ def test_add_with_info_overflow():
     )
     _, ovf2 = hbsm.add_with_info(A, B, cap=2)
     assert bool(ovf2)
+
+
+def test_syrk():
+    import hierarchical_block_sparse_lib_tpu as hbsm
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    d = (rng.standard_normal((96, 96)) * (rng.random((96, 96)) < 0.3)).astype(
+        np.float32
+    )
+    A = hbsm.from_dense(d, block_size=16)
+    C, info = hbsm.syrk(A, alpha=0.5)
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(C)), 0.5 * d @ d.T, rtol=2e-5, atol=2e-5
+    )
+    Ct, _ = hbsm.syrk(A, transpose=True)
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(Ct)), d.T @ d, rtol=2e-5, atol=2e-5
+    )
+    assert int(info.n_block_pairs) > 0

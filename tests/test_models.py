@@ -88,3 +88,30 @@ def test_polynomial_matches_dense_horner():
         np.asarray(hbsm.to_dense(P)), want, rtol=1e-4, atol=1e-5
     )
     assert int(pairs) > 0
+
+
+def test_inverse_sqrt_newton_schulz():
+    from hierarchical_block_sparse_lib_tpu.models.inverse_factor import (
+        inv_sqrt_newton_schulz,
+    )
+
+    n, b = 96, 16
+    rng = np.random.default_rng(4)
+    # Well-conditioned SPD "overlap": I + small banded symmetric part.
+    m = np.zeros((n, n), np.float32)
+    for k in range(1, 4):
+        v = rng.standard_normal(n - k).astype(np.float32) * 0.05
+        m += np.diag(v, k) + np.diag(v, -k)
+    S_d = np.eye(n, dtype=np.float32) + m
+    S = hbsm.from_dense(S_d, block_size=b)
+    nb = n // b
+    theta = float(np.linalg.norm(S_d, 2)) * 1.1
+    Z, total, ovf = inv_sqrt_newton_schulz(
+        S, theta, n_steps=25, tau=0.0, pair_cap=nb**3, out_cap=nb * nb
+    )
+    assert not bool(ovf)
+    assert int(total) > 0
+    Zd = np.asarray(hbsm.to_dense(Z)).astype(np.float64)
+    # Z^T S Z == I (congruence to identity)
+    err = np.linalg.norm(Zd.T @ S_d.astype(np.float64) @ Zd - np.eye(n))
+    assert err < 1e-4, err
