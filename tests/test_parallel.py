@@ -107,6 +107,45 @@ def test_dist_sp2_step_matches_single_device(mesh):
     )
 
 
+def test_dist_purification_matches_single_device_loop(mesh):
+    """20 distributed SP2 steps == 20 single-device steps — the flagship
+    workload end-to-end on the mesh (distribution exactness; SP2's own
+    convergence is covered in tests/test_models.py)."""
+    from hierarchical_block_sparse_lib_tpu.models.purification import (
+        purify_scan,
+    )
+
+    n, b, nocc = 256, 16, 64
+    rng = np.random.default_rng(21)
+    d = np.zeros((n, n), np.float32)
+    for k in range(0, 5):
+        v = rng.standard_normal(n - k).astype(np.float32) * 0.2
+        d += np.diag(v, k) + (np.diag(v, -k) if k else 0)
+    d = (d + d.T) / 2
+    w = np.linalg.eigvalsh(d.astype(np.float64))
+    lo, hi = w[0], w[-1]
+    x0 = ((hi * np.eye(n) - d) / (hi - lo)).astype(np.float32)
+    X = hbsm.from_dense(x0, block_size=b)
+    nb = n // b
+    dense_blocks = nb * nb
+
+    ref, _ = purify_scan(
+        X, 20, tau=1e-8, pair_cap=nb**3, out_cap=dense_blocks,
+        target_trace=nocc,
+    )
+
+    Xd = dist.distribute(hbsm.repack(X, dense_blocks), mesh)
+    for _ in range(20):
+        Xd, stats = dist.dist_sp2_step(
+            Xd, mesh, tau=1e-8, pair_cap=nb**3, out_cap=dense_blocks,
+            target_trace=nocc,
+        )
+        assert not bool(stats["overflow"])
+    got = np.asarray(hbsm.to_dense(dist.undistribute(Xd)))
+    want = np.asarray(hbsm.to_dense(ref))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def dist_mod_sp2(Xd, mesh, pc, oc, n):
     return dist.dist_sp2_step(
         Xd, mesh, tau=1e-7, pair_cap=2 * pc, out_cap=2 * oc,
