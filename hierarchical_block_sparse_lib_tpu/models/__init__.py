@@ -1,0 +1,22 @@
+"""Workload drivers built on the core ops: density-matrix purification
+(SP2), matrix polynomials, inverse factorization."""
+
+from hierarchical_block_sparse_lib_tpu.models.purification import (
+    PurificationStats,
+    purify,
+    purify_scan,
+    sp2_step,
+)
+from hierarchical_block_sparse_lib_tpu.models.polynomial import polynomial
+from hierarchical_block_sparse_lib_tpu.models.inverse_factor import (
+    inv_sqrt_newton_schulz,
+)
+
+__all__ = [
+    "PurificationStats",
+    "purify",
+    "purify_scan",
+    "sp2_step",
+    "polynomial",
+    "inv_sqrt_newton_schulz",
+]

@@ -404,6 +404,21 @@ def plan_spamm(a: BlockMatrix, b: BlockMatrix, tau: float):
     )
 
 
+def spamm_error_bound(a: BlockMatrix, b: BlockMatrix, tau: float) -> float:
+    """A-priori certificate for the norm-filtered multiply:
+    ||A@B - spamm(A,B,tau)||_F <= this bound (sum of skipped pair
+    bounds).  Host-side, exact for the given structure."""
+    from hierarchical_block_sparse_lib_tpu.ops.norms import block_frob_squared
+    from hierarchical_block_sparse_lib_tpu.runtime import native
+
+    a_norms = np.sqrt(np.asarray(block_frob_squared(a)))
+    b_norms = np.sqrt(np.asarray(block_frob_squared(b)))
+    return native.spamm_error_bound(
+        np.asarray(a.ids), a_norms, np.asarray(b.ids), b_norms,
+        a.nb_cols, b.nb_cols, tau,
+    )
+
+
 def spamm(
     a: BlockMatrix,
     b: BlockMatrix,

@@ -217,6 +217,36 @@ def plan_spamm_numpy(a_ids, a_norms, b_ids, b_norms, a_nbc, b_nbc, tau):
     return n_pairs, len(out_ids)
 
 
+def spamm_error_bound(a_ids, a_norms, b_ids, b_norms, a_nbc, b_nbc, tau):
+    """Sum of ||A_ik||*||B_kj|| over SKIPPED pairs — the a-priori
+    Frobenius bound on ||C_exact - C_spamm|| for the given tau
+    (triangle inequality over dropped block products)."""
+    a_ids = np.asarray(a_ids, np.int64)
+    b_ids = np.asarray(b_ids, np.int64)
+    a_norms = np.asarray(a_norms, np.float64)
+    b_norms = np.asarray(b_norms, np.float64)
+    av = a_ids != _SENTINEL
+    bv = b_ids != _SENTINEL
+    a_ids, a_norms = a_ids[av], a_norms[av]
+    b_ids, b_norms = b_ids[bv], b_norms[bv]
+    a_col = a_ids % a_nbc
+    b_row = b_ids // b_nbc
+    lo = np.searchsorted(b_row, a_col, side="left")
+    hi = np.searchsorted(b_row, a_col, side="right")
+    cnt = hi - lo
+    offs = np.concatenate([[0], np.cumsum(cnt)])
+    n_all = int(cnt.sum())
+    bound = 0.0
+    CHUNK = 1 << 22
+    for s0 in range(0, n_all, CHUNK):
+        p = np.arange(s0, min(s0 + CHUNK, n_all))
+        e = np.searchsorted(offs, p, side="right") - 1
+        t = p - offs[e]
+        prod = a_norms[e] * b_norms[lo[e] + t]
+        bound += float(prod[prod <= tau].sum())
+    return bound
+
+
 def plan_spamm(a_ids, a_norms, b_ids, b_norms, a_nbc, b_nbr, b_nbc, tau):
     """Exact (n_pairs, n_out) when products with
     ||A_ik||*||B_kj|| <= tau are skipped (SpAMM error control)."""

@@ -113,3 +113,27 @@ def test_spamm_overflow_reported_when_gemm_cap_too_small():
     assert pc > 2
     _, info = hbsm.spamm(A, A, 0.0, pair_cap=pc, out_cap=oc, gemm_cap=2)
     assert bool(info.pair_overflow)
+
+
+def test_spamm_error_bound_certificate():
+    """The a-priori bound certifies the actual SpAMM error."""
+    from hierarchical_block_sparse_lib_tpu.ops.spgemm import (
+        plan_spgemm, spamm_error_bound,
+    )
+
+    n, b, tau = 192, 16, 5e-2
+    da = _random_sparse(n, b, 0.3, 20)
+    db = _random_sparse(n, b, 0.3, 21)
+    A = hbsm.from_dense(da, block_size=b)
+    B = hbsm.from_dense(db, block_size=b)
+    pc, oc = plan_spgemm(A, B)
+    bound = spamm_error_bound(A, B, tau)
+    C, info = hbsm.spamm(A, B, tau, pair_cap=pc, out_cap=max(oc, 1))
+    err = np.linalg.norm(
+        np.asarray(hbsm.to_dense(C)).astype(np.float64)
+        - da.astype(np.float64) @ db.astype(np.float64),
+        "fro",
+    )
+    assert err <= bound * (1 + 1e-4) + 1e-6
+    assert bound > 0  # something was skipped at this tau
+    assert int(info.n_block_pairs) < pc
