@@ -11,6 +11,10 @@ from hierarchical_block_sparse_lib_tpu.models.polynomial import polynomial
 from hierarchical_block_sparse_lib_tpu.models.inverse_factor import (
     inv_sqrt_newton_schulz,
 )
+from hierarchical_block_sparse_lib_tpu.models.chebyshev import (
+    chebyshev_apply,
+    chebyshev_coeffs,
+)
 
 __all__ = [
     "PurificationStats",
@@ -19,4 +23,6 @@ __all__ = [
     "sp2_step",
     "polynomial",
     "inv_sqrt_newton_schulz",
+    "chebyshev_apply",
+    "chebyshev_coeffs",
 ]

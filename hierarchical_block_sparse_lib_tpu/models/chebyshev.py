@@ -1,0 +1,84 @@
+"""Chebyshev expansion of matrix functions over block-sparse matrices.
+
+Fermi-operator expansion — the classic linear-scaling alternative to
+purification for f(H) (density matrices, entropy, spectral filters):
+f(H) ~= sum_k c_k T_k(H) with the Chebyshev recurrence
+
+    T_0 = I,  T_1 = H,  T_{k+1} = 2 H T_k - T_{k-1}
+
+run entirely in framework primitives, with norm truncation after every
+multiply keeping the iterates sparse.  H must be scaled into [-1, 1]
+(e.g. via its Gershgorin or Frobenius bound) for the recurrence to be
+stable; `chebyshev_coeffs` turns samples of f on [-1, 1] into c_k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hierarchical_block_sparse_lib_tpu.core.block_matrix import BlockMatrix
+from hierarchical_block_sparse_lib_tpu.core.assembly import eye
+from hierarchical_block_sparse_lib_tpu.ops import basic, repack as repack_mod
+from hierarchical_block_sparse_lib_tpu.ops.spgemm import spgemm
+from hierarchical_block_sparse_lib_tpu.ops.truncate import truncate
+
+
+def chebyshev_coeffs(f, order: int, n_samples: int = 256) -> np.ndarray:
+    """Chebyshev coefficients of f on [-1, 1] (Gauss-Chebyshev points)."""
+    k = np.arange(n_samples)
+    x = np.cos(np.pi * (k + 0.5) / n_samples)
+    fx = f(x)
+    j = np.arange(order + 1)[:, None]
+    c = (2.0 / n_samples) * (
+        fx[None, :] * np.cos(j * np.pi * (k[None, :] + 0.5) / n_samples)
+    ).sum(axis=1)
+    c[0] /= 2.0
+    return c
+
+
+def chebyshev_apply(
+    h: BlockMatrix,
+    coeffs,
+    tau: float | jax.Array,
+    pair_cap: int,
+    out_cap: int,
+    backend: str = "auto",
+    row_caps: tuple | None = None,
+):
+    """F = sum_k coeffs[k] * T_k(H), H pre-scaled to spectrum in [-1,1].
+
+    Truncates each T_k to `tau` before it enters the recurrence.
+    Returns (F, total_block_pairs, overflow)."""
+    n, b = h.n_rows, h.block_size
+    coeffs = np.asarray(coeffs, np.float64)
+    ident = eye(n, b, dtype=h.dtype, cap=-(-n // b))
+
+    t_prev = repack_mod.repack(ident, out_cap)  # T_0
+    t_cur = repack_mod.repack(h, out_cap)  # T_1
+    f_acc = basic.add(
+        basic.scale(t_prev, float(coeffs[0])),
+        basic.scale(t_cur, float(coeffs[1]) if len(coeffs) > 1 else 0.0),
+    )
+    f_acc = repack_mod.repack(f_acc, out_cap)
+    total = jnp.zeros((), jnp.int32)
+    ovf = jnp.zeros((), bool)
+    for k in range(2, len(coeffs)):
+        ht, info = spgemm(
+            h, t_cur, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
+            row_caps=row_caps,
+        )
+        t_nxt = basic.add(ht, t_prev, alpha=2.0, beta=-1.0)
+        t_nxt = truncate(t_nxt, tau)
+        nnz_kept = t_nxt.nnz
+        t_nxt = repack_mod.repack(t_nxt, out_cap)
+        f_acc = basic.add(f_acc, t_nxt, beta=float(coeffs[k]))
+        f_acc = repack_mod.repack(f_acc, out_cap)
+        total = total + info.n_block_pairs
+        ovf = (
+            ovf | info.pair_overflow | info.out_overflow
+            | (nnz_kept > out_cap)
+        )
+        t_prev, t_cur = t_cur, t_nxt
+    return f_acc, total, ovf

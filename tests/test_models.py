@@ -115,3 +115,36 @@ def test_inverse_sqrt_newton_schulz():
     # Z^T S Z == I (congruence to identity)
     err = np.linalg.norm(Zd.T @ S_d.astype(np.float64) @ Zd - np.eye(n))
     assert err < 1e-4, err
+
+
+def test_chebyshev_fermi_expansion():
+    """Chebyshev expansion of a smooth function of H vs dense eigensolve."""
+    from hierarchical_block_sparse_lib_tpu.models.chebyshev import (
+        chebyshev_apply,
+        chebyshev_coeffs,
+    )
+
+    n, b = 96, 16
+    rng = np.random.default_rng(6)
+    m = np.zeros((n, n), np.float32)
+    for k in range(0, 4):
+        v = rng.standard_normal(n - k).astype(np.float32) * 0.1
+        m += np.diag(v, k) + (np.diag(v, -k) if k else 0)
+    H_d = ((m + m.T) / 2).astype(np.float64)
+    # scale spectrum into [-1, 1]
+    bound = np.abs(H_d).sum(axis=1).max() * 1.05  # Gershgorin
+    Hs = (H_d / bound).astype(np.float32)
+    H = hbsm.from_dense(Hs, block_size=b)
+
+    beta = 6.0
+    f = lambda x: 1.0 / (1.0 + np.exp(beta * x))  # Fermi function
+    c = chebyshev_coeffs(f, order=24)
+    nb = n // b
+    F, total, ovf = chebyshev_apply(
+        H, c, tau=0.0, pair_cap=nb**3, out_cap=nb * nb
+    )
+    assert not bool(ovf) and int(total) > 0
+    got = np.asarray(hbsm.to_dense(F)).astype(np.float64)
+    w, v = np.linalg.eigh(H_d / bound)
+    want = (v * f(w)) @ v.T
+    assert np.abs(got - want).max() < 1e-4
