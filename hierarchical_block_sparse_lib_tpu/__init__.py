@@ -52,6 +52,7 @@ from hierarchical_block_sparse_lib_tpu.ops.norms import (
     trace,
     nnz_blocks,
     subtree_frob_squared,
+    gershgorin_bound,
 )
 from hierarchical_block_sparse_lib_tpu.ops.truncate import truncate
 from hierarchical_block_sparse_lib_tpu.ops.spgemm import (
@@ -87,6 +88,7 @@ __all__ = [
     "trace",
     "nnz_blocks",
     "subtree_frob_squared",
+    "gershgorin_bound",
     "truncate",
     "spgemm",
     "spgemm_symbolic",

@@ -76,3 +76,20 @@ def subtree_frob_squared(a: BlockMatrix, level: int):
     norms2 = block_frob_squared(a)
     out = jnp.zeros((4**level,), jnp.float32).at[keys].add(norms2, mode="drop")
     return keys, out
+
+
+@jax.jit
+def gershgorin_bound(a: BlockMatrix) -> jax.Array:
+    """Upper bound on the spectral radius: max_i sum_j |A_ij| (Gershgorin).
+
+    The scaling prerequisite for the Chebyshev recurrence and
+    Newton-Schulz iterations (models/chebyshev.py, inverse_factor.py):
+    spectrum(A / bound) is contained in [-1, 1]."""
+    row_abs = jnp.sum(jnp.abs(a.data.astype(jnp.float32)), axis=2)  # [cap,b]
+    brow = jnp.where(a.valid_mask(), a.ids // a.nb_cols, a.nb_rows)
+    per_row = (
+        jnp.zeros((a.nb_rows + 1, a.block_size), jnp.float32)
+        .at[brow]
+        .add(row_abs, mode="drop")
+    )[: a.nb_rows]
+    return jnp.max(per_row)

@@ -177,3 +177,19 @@ def test_syrk():
         np.asarray(hbsm.to_dense(Ct)), d.T @ d, rtol=2e-5, atol=2e-5
     )
     assert int(info.n_block_pairs) > 0
+
+
+def test_gershgorin_bound():
+    import hierarchical_block_sparse_lib_tpu as hbsm
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    d = (rng.standard_normal((96, 96)) * (rng.random((96, 96)) < 0.3)).astype(
+        np.float32
+    )
+    d = (d + d.T) / 2
+    A = hbsm.from_dense(d, block_size=16)
+    g = float(hbsm.gershgorin_bound(A))
+    want = np.abs(d).sum(axis=1).max()
+    np.testing.assert_allclose(g, want, rtol=1e-5)
+    assert g >= np.abs(np.linalg.eigvalsh(d)).max() - 1e-4
