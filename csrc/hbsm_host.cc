@@ -70,7 +70,6 @@ void hbsm_plan_spgemm(const int32_t* a_ids, int64_t na, const int32_t* b_ids,
     if (hi <= lo) continue;
     const int64_t arow = a_ids[i] / a_nbc;
     n_pairs += hi - lo;
-    c_ids.reserve(c_ids.size() + (size_t)(hi - lo));
     for (int64_t j = lo; j < hi; ++j) {
       c_ids.push_back(arow * (int64_t)b_nbc + b_ids[j] % b_nbc);
     }

@@ -44,6 +44,9 @@ from hierarchical_block_sparse_lib_tpu.ops.basic import (
     add_with_info,
     scale,
     transpose,
+    filter_blocks,
+    triu,
+    tril,
 )
 from hierarchical_block_sparse_lib_tpu.ops.norms import (
     frob_squared,
@@ -60,10 +63,12 @@ from hierarchical_block_sparse_lib_tpu.ops.spgemm import (
     spgemm_symbolic,
     spamm,
     plan_spamm,
+    plan_syrk,
     MultiplyInfo,
 )
 from hierarchical_block_sparse_lib_tpu.ops.repack import repack, coarsen
 from hierarchical_block_sparse_lib_tpu.ops.matmul import matmul, syrk
+from hierarchical_block_sparse_lib_tpu.ops.slab import spgemm_colslab
 from hierarchical_block_sparse_lib_tpu.ops.spmm import spmm, spmv
 from hierarchical_block_sparse_lib_tpu.utils.serialization import save, load
 
@@ -99,6 +104,11 @@ __all__ = [
     "coarsen",
     "matmul",
     "syrk",
+    "plan_syrk",
+    "spgemm_colslab",
+    "filter_blocks",
+    "triu",
+    "tril",
     "spmm",
     "spmv",
     "save",

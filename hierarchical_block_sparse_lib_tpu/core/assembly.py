@@ -141,8 +141,9 @@ def from_dense(
     nbr, nbc = -(-n_rows // b), -(-n_cols // b)
     xp = jnp.zeros((nbr * b, nbc * b), x.dtype).at[:n_rows, :n_cols].set(x)
     blocks = xp.reshape(nbr, b, nbc, b).transpose(0, 2, 1, 3).reshape(-1, b, b)
-    norms2 = jnp.sum(jnp.square(blocks.astype(jnp.float32)), axis=(1, 2))
-    keep = norms2 > jnp.float32(threshold) ** 2
+    acc = jnp.promote_types(blocks.dtype, jnp.float32)
+    norms2 = jnp.sum(jnp.square(blocks.astype(acc)), axis=(1, 2))
+    keep = norms2 > jnp.asarray(threshold, acc) ** 2
     all_ids = jnp.arange(nbr * nbc, dtype=jnp.int32)
     ids = jnp.where(keep, all_ids, SENTINEL)
     blocks = jnp.where(keep[:, None, None], blocks, 0)

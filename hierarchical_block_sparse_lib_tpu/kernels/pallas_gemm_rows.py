@@ -19,9 +19,9 @@ Algorithm (grid = one step per A block-row i):
           power-of-two DMA decomposition: no overfetch, <= log2 descriptors)
       for each stored B block (k,j) in the panel:
           acc[postable[j]] += A(i,k) @ B(k,j)   # MXU; serial per slot
-  flush acc -> C row i's slot range (one DMA; fixed C_ROW_MAX size with
-      overstore into later rows' slots, which their own flushes rewrite —
-      flushes are issue-ordered, so the last write wins)
+  flush acc -> C row i's slot range (exact power-of-two DMA decomposition
+      of the c_cnt-block flush — no overstore; rows' slot ranges are
+      disjoint, so flushes from different rows never touch the same slot)
 
 Descriptor count ~ nnz(A) + 2*rows instead of ~3*pairs; HBM traffic drops
 to (nnz(A) + pairs + outs) * block_bytes — the roofline for this layout.
@@ -91,13 +91,14 @@ def supported(b: int, dtype, b_row_max: int, c_row_max: int, nbc: int) -> bool:
     return (
         b % 128 == 0
         and nbc <= 4096
+        and jnp.dtype(dtype) != jnp.float64  # kernel accumulates in f32
         and _tier(b, dtype, b_row_max, c_row_max) is not None
     )
 
 
 def _make_kernel(
     b, b_row_max, c_row_max, nbc, precision, n_rows_grid, out_cap,
-    acc_p, panel_p, filtered,
+    acc_p, panel_p, filtered, triu,
 ):
     # Power-of-two DMA sizes covering every bit of any bcnt <= b_row_max.
     chunk_sizes = [1 << k for k in range(max(b_row_max.bit_length(), 1))]
@@ -263,11 +264,21 @@ def _make_kernel(
                         )
                         acc[fpar, pos] += prod
 
+                    keep = None
                     if filtered:
                         # Skip the MXU work for pairs below the SpAMM
                         # bound — the exact comparison the symbolic
                         # phase used, so out_ids stays consistent.
-                        @pl.when(an2_ref[e] * bn2_ref[blo + t2] > tau2_ref[0])
+                        keep = an2_ref[e] * bn2_ref[blo + t2] > tau2_ref[0]
+                    if triu:
+                        # Symmetric (syrk) mode: only upper-triangle
+                        # outputs j >= i are planned in out_ids; lower
+                        # pairs must be skipped or they would corrupt
+                        # another slot via the postable clamp.
+                        up = b_col_ref[blo + t2] >= i
+                        keep = up if keep is None else (keep & up)
+                    if keep is not None:
+                        @pl.when(keep)
                         def _():
                             compute()
                     else:
@@ -317,7 +328,7 @@ def _make_kernel(
     jax.jit,
     static_argnames=(
         "nbr", "nbrB", "nbc", "out_cap", "b_row_max", "c_row_max",
-        "precision", "interpret",
+        "precision", "interpret", "triu",
     ),
 )
 def rows_spgemm(
@@ -337,6 +348,7 @@ def rows_spgemm(
     a_norms2: jax.Array | None = None,  # f32[capA]: SpAMM filter
     b_norms2: jax.Array | None = None,  # f32[capB]
     tau2: jax.Array | None = None,  # f32[] squared threshold
+    triu: bool = False,  # syrk mode: compute only outputs with col >= row
 ) -> jax.Array:
     """f32[out_cap, b, b]: block products accumulated into the slots given
     by `out_ids` (which must be exactly the distinct products' ids, row-
@@ -386,7 +398,7 @@ def rows_spgemm(
     filtered = a_norms2 is not None
     kernel = _make_kernel(
         b, b_row_max, c_row_max, nbc, precision, nbr, out_cap, acc_p,
-        panel_p, filtered,
+        panel_p, filtered, triu,
     )
     vma = getattr(jax.typeof(a_data), "vma", frozenset())
     n_chunk_sizes = max(b_row_max.bit_length(), 1)

@@ -57,13 +57,15 @@ def chebyshev_apply(
 
     t_prev = repack_mod.repack(ident, out_cap)  # T_0
     t_cur = repack_mod.repack(h, out_cap)  # T_1
-    f_acc = basic.add(
+    # add_with_info at cap=out_cap: the accumulated union support of all
+    # T_k can exceed out_cap even when each T_k fits — that drop must be
+    # reported, not silent (ADVICE.md r1 medium).
+    f_acc, ovf = basic.add_with_info(
         basic.scale(t_prev, float(coeffs[0])),
         basic.scale(t_cur, float(coeffs[1]) if len(coeffs) > 1 else 0.0),
+        cap=out_cap,
     )
-    f_acc = repack_mod.repack(f_acc, out_cap)
     total = jnp.zeros((), jnp.int32)
-    ovf = jnp.zeros((), bool)
     for k in range(2, len(coeffs)):
         ht, info = spgemm(
             h, t_cur, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
@@ -73,12 +75,14 @@ def chebyshev_apply(
         t_nxt = truncate(t_nxt, tau)
         nnz_kept = t_nxt.nnz
         t_nxt = repack_mod.repack(t_nxt, out_cap)
-        f_acc = basic.add(f_acc, t_nxt, beta=float(coeffs[k]))
-        f_acc = repack_mod.repack(f_acc, out_cap)
+        f_acc, acc_ovf = basic.add_with_info(
+            f_acc, t_nxt, beta=float(coeffs[k]), cap=out_cap
+        )
+        ovf = ovf | acc_ovf
         total = total + info.n_block_pairs
         ovf = (
             ovf | info.pair_overflow | info.out_overflow
-            | (nnz_kept > out_cap)
+            | info.row_overflow | (nnz_kept > out_cap)
         )
         t_prev, t_cur = t_cur, t_nxt
     return f_acc, total, ovf

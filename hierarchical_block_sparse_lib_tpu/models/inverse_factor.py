@@ -71,12 +71,14 @@ def inv_sqrt_newton_schulz(
             zy, z, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
             row_caps=row_caps,
         )
-        # T = (3I - ZYZ)/2 ; Z <- Z T
-        t = basic.add(
+        # T = (3I - ZYZ)/2 ; Z <- Z T.  add_with_info at cap=out_cap: the
+        # identity union can push the support past out_cap — report the
+        # drop (ADVICE.md r1 medium).
+        t, t_ovf = basic.add_with_info(
             eye(n, b, dtype=s.dtype, cap=ident_cap), zyz,
-            alpha=1.5, beta=-0.5,
+            alpha=1.5, beta=-0.5, cap=out_cap,
         )
-        t = repack_mod.repack(t, out_cap)
+        ovf = ovf | t_ovf
         z2, i3 = spgemm(
             z, t, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
             row_caps=row_caps,
@@ -86,7 +88,7 @@ def inv_sqrt_newton_schulz(
         z2 = repack_mod.repack(z2, out_cap)
         total = total + i1.n_block_pairs + i2.n_block_pairs + i3.n_block_pairs
         for i in (i1, i2, i3):
-            ovf = ovf | i.pair_overflow | i.out_overflow
+            ovf = ovf | i.pair_overflow | i.out_overflow | i.row_overflow
         ovf = ovf | (nnz_kept > out_cap)
         return (z2, total, ovf), None
 

@@ -40,7 +40,10 @@ def polynomial(
     for c in reversed(coeffs[:-1]):
         acc, info = spgemm(acc, a, pair_cap=pair_cap, out_cap=out_cap, backend=backend)
         total_pairs = total_pairs + info.n_block_pairs
-        overflow = overflow | info.pair_overflow | info.out_overflow
+        overflow = (
+            overflow | info.pair_overflow | info.out_overflow
+            | info.row_overflow
+        )
         acc = basic.add(acc, basic.scale(ident, c))
         acc = truncate(acc, tau)
         acc = repack_mod.repack(acc, out_cap)

@@ -85,7 +85,9 @@ def sp2_step(
         nnz_blocks=y.nnz,
         n_block_pairs=info.n_block_pairs,
         pair_overflow=info.pair_overflow,
-        out_overflow=info.out_overflow,
+        # row_overflow folded in: undersized row_caps on the row-panel
+        # kernel also mean dropped/garbage output blocks.
+        out_overflow=info.out_overflow | info.row_overflow,
         repack_overflow=nnz_kept > cap,
     )
     return y, stats
@@ -111,9 +113,15 @@ def purify_scan(
     """`n_steps` SP2 iterations as ONE compiled program (`lax.scan`) —
     the whole purification pipeline stays on-device with zero host
     round-trips.  Returns (X_final, PurificationStats stacked [n_steps])."""
+    import dataclasses
+
     from hierarchical_block_sparse_lib_tpu.ops import repack as repack_mod
 
     cap = out_cap if cap is None else cap
+    # The initial repack can itself drop input blocks (support(X) is not
+    # necessarily a subset of the X@X output support) — fold that into the
+    # first step's repack_overflow so it is never silent (ADVICE.md r1).
+    init_ovf = x.nnz > cap
     x = repack_mod.repack(x, cap)
 
     def step(x, _):
@@ -129,7 +137,14 @@ def purify_scan(
         )
         return y, s
 
-    return jax.lax.scan(step, x, None, length=n_steps)
+    xf, stats = jax.lax.scan(step, x, None, length=n_steps)
+    stats = dataclasses.replace(
+        stats,
+        repack_overflow=stats.repack_overflow.at[0].set(
+            stats.repack_overflow[0] | init_ovf
+        ),
+    )
+    return xf, stats
 
 
 def purify(
@@ -148,7 +163,10 @@ def purify(
     densifies toward the union support before truncation re-sparsifies
     it).  Returns (X_final, list[PurificationStats]).
     """
+    import dataclasses
+
     cap = out_cap if cap is None else cap
+    init_ovf = x.nnz > cap  # initial repack may drop blocks; see purify_scan
     x = repack_mod.repack(x, cap)
     stats = []
     for _ in range(n_steps):
@@ -162,4 +180,8 @@ def purify(
             cap=cap,
         )
         stats.append(s)
+    if stats:
+        stats[0] = dataclasses.replace(
+            stats[0], repack_overflow=stats[0].repack_overflow | init_ovf
+        )
     return x, stats

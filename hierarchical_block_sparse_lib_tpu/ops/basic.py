@@ -9,6 +9,7 @@ becomes id remapping + a batched axis swap.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +70,36 @@ def scale(a: BlockMatrix, alpha) -> BlockMatrix:
     """A <- alpha * A (reference ``rescale``, SURVEY.md C7).  Structure is
     preserved (even for alpha == 0, matching explicit-zero semantics)."""
     return a.with_data(a.data * jnp.asarray(alpha, a.dtype))
+
+
+def filter_blocks(a: BlockMatrix, keep: jax.Array) -> BlockMatrix:
+    """Drop stored blocks where `keep` (bool[cap]) is False; capacity is
+    unchanged, survivors stay sorted at the front (structural analogue of
+    truncation — same compaction, caller-supplied predicate)."""
+    keep = keep & a.valid_mask()
+    ids = jnp.where(keep, a.ids, SENTINEL)
+    order = jnp.argsort(ids)
+    data = jnp.where(keep[:, None, None], a.data, 0)[order]
+    return BlockMatrix(
+        ids=ids[order], data=data, nnz=jnp.sum(keep).astype(jnp.int32),
+        n_rows=a.n_rows, n_cols=a.n_cols, block_size=a.block_size,
+    )
+
+
+@partial(jax.jit, static_argnames=("strict",))
+def triu(a: BlockMatrix, strict: bool = False) -> BlockMatrix:
+    """Keep blocks with block_row <= block_col (< if `strict`)."""
+    brow = a.ids // a.nb_cols
+    bcol = a.ids % a.nb_cols
+    return filter_blocks(a, (brow < bcol) if strict else (brow <= bcol))
+
+
+@partial(jax.jit, static_argnames=("strict",))
+def tril(a: BlockMatrix, strict: bool = False) -> BlockMatrix:
+    """Keep blocks with block_row >= block_col (> if `strict`)."""
+    brow = a.ids // a.nb_cols
+    bcol = a.ids % a.nb_cols
+    return filter_blocks(a, (brow > bcol) if strict else (brow >= bcol))
 
 
 def transpose(a: BlockMatrix) -> BlockMatrix:

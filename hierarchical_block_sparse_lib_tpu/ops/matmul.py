@@ -54,16 +54,41 @@ def syrk(
     transpose: bool = False,
     precision: str = "highest",
     backend: str = "auto",
+    full: bool = True,
 ):
     """Symmetric rank-k product: C = alpha * A @ A^T (or A^T @ A with
-    `transpose=True`) — the reference-style symm/rank-k convenience
-    (SURVEY.md section 9.2) over the same planned multiply.
-    Returns (C, MultiplyInfo)."""
-    return matmul(
-        a, a,
+    `transpose=True`) — the reference-style symm/rank-k surface
+    (SURVEY.md section 9.2), *symmetry-exploiting*: only upper-triangle
+    (block_row <= block_col) outputs are computed on the MXU, roughly
+    halving the leaf-GEMM count vs the generic multiply; the lower
+    triangle is mirrored afterwards as C_ji = C_ij^T (cheap transpose +
+    structural union, no GEMMs).
+
+    With `full=False` only the upper-triangle part is returned.
+    `info.n_block_pairs` counts the GEMMs actually performed (upper
+    pairs).  Returns (C, MultiplyInfo)."""
+    from hierarchical_block_sparse_lib_tpu.ops.spgemm import plan_syrk
+
+    ae = basic.transpose(a) if transpose else a
+    at = basic.transpose(ae)
+    plan = plan_syrk(ae)
+    cu, info = spgemm(
+        ae,
+        at,
+        pair_cap=max(plan.pairs_raw, 1),
+        gemm_cap=max(plan.pairs_upper, 1),
+        out_cap=max(plan.out_upper, 1),
         alpha=alpha,
-        transpose_a=transpose,
-        transpose_b=not transpose,
         precision=precision,
         backend=backend,
+        row_caps=(plan.max_b_row, plan.max_c_row),
+        syrk_upper=True,
     )
+    if not full:
+        return cu, info
+    low = basic.transpose(basic.triu(cu, strict=True))
+    c, add_ovf = basic.add_with_info(cu, low, cap=max(plan.out_full, 1))
+    import dataclasses
+
+    info = dataclasses.replace(info, out_overflow=info.out_overflow | add_ovf)
+    return c, info

@@ -26,13 +26,19 @@ def block_frob_squared(a: BlockMatrix) -> jax.Array:
     (BASELINE.json:5 "truncation/norm pass -> fused Pallas reduction");
     elsewhere a jnp reduction (identical numerics: f32 tree-sum).
     """
-    if jax.default_backend() == "tpu" and a.block_size % 128 == 0:
+    if (
+        jax.default_backend() == "tpu"
+        and a.block_size % 128 == 0
+        and a.dtype != jnp.float64
+    ):
         from hierarchical_block_sparse_lib_tpu.kernels.pallas_norms import (
             block_frob_squared as _pallas_norms,
         )
 
         return _pallas_norms(a.data)
-    return jnp.sum(jnp.square(a.data.astype(jnp.float32)), axis=(1, 2))
+    # Accumulate at >= f32; f64 inputs (x64 mode) stay f64 end-to-end.
+    acc = jnp.promote_types(a.dtype, jnp.float32)
+    return jnp.sum(jnp.square(a.data.astype(acc)), axis=(1, 2))
 
 
 @jax.jit
@@ -74,7 +80,9 @@ def subtree_frob_squared(a: BlockMatrix, level: int):
     keys = morton.subtree_key(code, depth, level)
     keys = jnp.where(a.valid_mask(), keys, 4**level)  # trash segment
     norms2 = block_frob_squared(a)
-    out = jnp.zeros((4**level,), jnp.float32).at[keys].add(norms2, mode="drop")
+    out = (
+        jnp.zeros((4**level,), norms2.dtype).at[keys].add(norms2, mode="drop")
+    )
     return keys, out
 
 
@@ -85,10 +93,11 @@ def gershgorin_bound(a: BlockMatrix) -> jax.Array:
     The scaling prerequisite for the Chebyshev recurrence and
     Newton-Schulz iterations (models/chebyshev.py, inverse_factor.py):
     spectrum(A / bound) is contained in [-1, 1]."""
-    row_abs = jnp.sum(jnp.abs(a.data.astype(jnp.float32)), axis=2)  # [cap,b]
+    acc = jnp.promote_types(a.dtype, jnp.float32)
+    row_abs = jnp.sum(jnp.abs(a.data.astype(acc)), axis=2)  # [cap,b]
     brow = jnp.where(a.valid_mask(), a.ids // a.nb_cols, a.nb_rows)
     per_row = (
-        jnp.zeros((a.nb_rows + 1, a.block_size), jnp.float32)
+        jnp.zeros((a.nb_rows + 1, a.block_size), acc)
         .at[brow]
         .add(row_abs, mode="drop")
     )[: a.nb_rows]

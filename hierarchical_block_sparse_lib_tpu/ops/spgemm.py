@@ -47,15 +47,29 @@ class MultiplyInfo:
     n_out_blocks: jax.Array  # int32[] — distinct output blocks
     pair_overflow: jax.Array  # bool[] — pair_cap too small (results dropped)
     out_overflow: jax.Array  # bool[] — out_cap too small (results dropped)
+    # row_caps too small for the row-panel kernel (its in-kernel clamp
+    # would otherwise produce silently-wrong panels); always False for the
+    # other backends.
+    row_overflow: jax.Array
+    # Exact logical-leaf multiply count (reference leaf granularity, e.g.
+    # 16/32) when per-tile occupancy masks are supplied via
+    # a_leaf_occ/b_leaf_occ (see ops.repack.coarsen(track_leaves=True));
+    # -1 when not tracked.  This is the counter comparable to the
+    # reference's `no_of_block_multiplies` at ITS leaf size; n_block_pairs
+    # counts MXU-tile pairs (SURVEY.md section 8.5).
+    n_leaf_multiplies: jax.Array
 
 
-@partial(jax.jit, static_argnames=("pair_cap", "filter_by_norm"))
+@partial(
+    jax.jit, static_argnames=("pair_cap", "filter_by_norm", "syrk_upper")
+)
 def spgemm_symbolic(
     a: BlockMatrix,
     b: BlockMatrix,
     pair_cap: int,
     tau: float | jax.Array = 0.0,
     filter_by_norm: bool = False,
+    syrk_upper: bool = False,
 ):
     """Enumerate contributing block pairs, sorted by output block id.
 
@@ -109,11 +123,17 @@ def spgemm_symbolic(
         bn2 = block_frob_squared(b)
         tau2 = jnp.square(jnp.asarray(tau, jnp.float32))
         valid_p = valid_p & (an2[a_idx] * bn2[b_idx] > tau2)
+    if syrk_upper:
+        # Symmetric-product enumeration (C = A @ A^T with b = A^T):
+        # keep only upper-triangle outputs i <= j; the caller mirrors
+        # C_ji = C_ij^T afterwards, halving the leaf-GEMM count
+        # (SURVEY.md section 9.2 rank-k surface).
+        valid_p = valid_p & (a_row[e_c] <= b_col[b_idx])
     c_id = jnp.where(
         valid_p, a_row[e_c] * b.nb_cols + b_col[b_idx], SENTINEL
     ).astype(jnp.int32)
     raw_total = total.astype(jnp.int32)
-    if filter_by_norm:
+    if filter_by_norm or syrk_upper:
         total = jnp.sum(valid_p).astype(jnp.int32)
 
     order = jnp.argsort(c_id)
@@ -195,6 +215,7 @@ def _xla_numeric_accumulate(
         "filter_by_norm",
         "gemm_cap",
         "row_caps",
+        "syrk_upper",
     ),
 )
 def spgemm(
@@ -211,6 +232,9 @@ def spgemm(
     filter_by_norm: bool = False,
     gemm_cap: int | None = None,
     row_caps: tuple[int, int] | None = None,
+    syrk_upper: bool = False,
+    a_leaf_occ: jax.Array | None = None,
+    b_leaf_occ: jax.Array | None = None,
 ):
     """C = alpha * op(A) @ op(B); returns (C, MultiplyInfo).
 
@@ -249,7 +273,8 @@ def spgemm(
             f"{b.n_rows}x{b.block_size}"
         )
     a_idx, b_idx, c_id, total, raw_total = spgemm_symbolic(
-        a, b, pair_cap, tau=tau, filter_by_norm=filter_by_norm
+        a, b, pair_cap, tau=tau, filter_by_norm=filter_by_norm,
+        syrk_upper=syrk_upper,
     )
     gemm_cap = pair_cap if gemm_cap is None else min(gemm_cap, pair_cap)
     if gemm_cap < pair_cap:
@@ -258,6 +283,51 @@ def spgemm(
         a_idx = a_idx[:gemm_cap]
         b_idx = b_idx[:gemm_cap]
         c_id = c_id[:gemm_cap]
+
+    if a_leaf_occ is not None:
+        # Logical-leaf multiply count for pair (A_ik, B_kj): the inner
+        # leaf index w contributes (leaves in A's leaf-col w) x (leaves
+        # in B's leaf-row w) products; sum over pairs.  Chunked to bound
+        # the [pairs, f] gather footprint.
+        ca = jnp.sum(a_leaf_occ, axis=1, dtype=jnp.int32)  # [capA, f]
+        rb = jnp.sum(b_leaf_occ, axis=2, dtype=jnp.int32)  # [capB, f]
+        pv = c_id != SENTINEL
+        pairs_n = a_idx.shape[0]
+        ck = _XLA_PAIR_CHUNK
+        if pairs_n <= ck:
+            n_leaf = jnp.sum(
+                jnp.where(
+                    pv, jnp.sum(ca[a_idx] * rb[b_idx], axis=-1), 0
+                )
+            ).astype(jnp.int32)
+        else:
+            n_chunks = -(-pairs_n // ck)
+            pad = n_chunks * ck - pairs_n
+            ai_p = jnp.concatenate([a_idx, jnp.zeros((pad,), jnp.int32)])
+            bi_p = jnp.concatenate([b_idx, jnp.zeros((pad,), jnp.int32)])
+            pv_p = jnp.concatenate([pv, jnp.zeros((pad,), bool)])
+
+            def body(tot, sl):
+                ai, bi, m = sl
+                return (
+                    tot
+                    + jnp.sum(
+                        jnp.where(m, jnp.sum(ca[ai] * rb[bi], axis=-1), 0)
+                    ),
+                    None,
+                )
+
+            n_leaf, _ = jax.lax.scan(
+                body,
+                jnp.zeros((), jnp.int32),
+                (
+                    ai_p.reshape(n_chunks, ck),
+                    bi_p.reshape(n_chunks, ck),
+                    pv_p.reshape(n_chunks, ck),
+                ),
+            )
+    else:
+        n_leaf = jnp.full((), -1, jnp.int32)
 
     first = jnp.concatenate([jnp.ones((1,), bool), c_id[1:] != c_id[:-1]])
     valid_p = c_id != SENTINEL
@@ -272,7 +342,11 @@ def spgemm(
     if backend == "auto":
         from hierarchical_block_sparse_lib_tpu.kernels import pallas_gemm_rows
 
-        if (
+        if a.dtype == jnp.float64:
+            # The Pallas kernels accumulate in f32; f64 (x64 mode, CPU)
+            # must take the dtype-clean dot_general path.
+            backend = "xla"
+        elif (
             on_tpu
             and row_caps is not None
             and pallas_gemm_rows.supported(
@@ -309,7 +383,8 @@ def spgemm(
         out_data = rows_spgemm(
             a.ids, a.data, b.ids, b.data, out_ids_pre,
             a.nb_rows, b.nb_rows, b.nb_cols, out_cap,
-            row_caps[0], row_caps[1], precision=precision, **fkw,
+            row_caps[0], row_caps[1], precision=precision,
+            triu=syrk_upper, **fkw,
         )
     elif backend == "pallas":
         from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_stream import (
@@ -325,6 +400,28 @@ def spgemm(
             (out_cap, a.block_size, b.block_size), acc_dtype, precision,
         )
     out_ids = out_ids_pre
+    if backend == "rows":
+        # The kernel clamps per-row block counts to the (bucketed) static
+        # row caps; an undersized plan would silently drop panel entries.
+        # Flag it here from the true per-row maxima (ADVICE.md r1 high).
+        from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_rows import (
+            _bucket,
+        )
+
+        b_rowv = jnp.where(b.valid_mask(), b.ids // b.nb_cols, b.nb_rows)
+        max_b_row = jnp.max(
+            jnp.zeros((b.nb_rows + 1,), jnp.int32).at[b_rowv].add(1)[:-1]
+        )
+        c_valid = out_ids != SENTINEL
+        c_rowv = jnp.where(c_valid, out_ids // b.nb_cols, a.nb_rows)
+        max_c_row = jnp.max(
+            jnp.zeros((a.nb_rows + 1,), jnp.int32).at[c_rowv].add(1)[:-1]
+        )
+        row_overflow = (max_b_row > _bucket(max(row_caps[0], 1))) | (
+            max_c_row > _bucket(max(row_caps[1], 1))
+        )
+    else:
+        row_overflow = jnp.zeros((), bool)
     alpha_is_one = isinstance(alpha, (int, float)) and float(alpha) == 1.0
     if backend == "rows" and alpha_is_one and a.dtype == out_data.dtype:
         # The row-panel kernel writes every used slot exactly and
@@ -357,6 +454,8 @@ def spgemm(
         n_out_blocks=n_unique,
         pair_overflow=(raw_total > pair_cap) | (total > gemm_cap),
         out_overflow=n_unique > out_cap,
+        row_overflow=row_overflow,
+        n_leaf_multiplies=n_leaf,
     )
     return c, info
 
@@ -386,6 +485,72 @@ def plan_spgemm(a: BlockMatrix, b: BlockMatrix):
     b_ids = np.asarray(b.ids)
     return native.plan_spgemm(
         a_ids, b_ids, a.nb_cols, b.nb_rows, b.nb_cols
+    )
+
+
+class SyrkPlan:
+    """Exact host plan for the symmetric product C = A @ A^T with
+    upper-triangle-only (i <= j) enumeration (SURVEY.md section 9.2)."""
+
+    __slots__ = (
+        "pairs_raw", "pairs_upper", "out_upper", "out_diag",
+        "max_b_row", "max_c_row",
+    )
+
+    def __init__(self, pairs_raw, pairs_upper, out_upper, out_diag,
+                 max_b_row, max_c_row):
+        self.pairs_raw = pairs_raw          # unfiltered enumeration size
+        self.pairs_upper = pairs_upper      # leaf GEMMs actually done
+        self.out_upper = out_upper          # distinct i<=j output blocks
+        self.out_diag = out_diag            # of which diagonal (i==j)
+        self.max_b_row = max_b_row          # row-panel kernel caps
+        self.max_c_row = max_c_row
+
+    @property
+    def out_full(self):
+        """Distinct output blocks after mirroring."""
+        return 2 * self.out_upper - self.out_diag
+
+
+def plan_syrk(a: BlockMatrix) -> SyrkPlan:
+    """Host-side exact plan for `syrk` (C = A @ A^T, upper-only pairs).
+
+    The symbolic workspace still enumerates all `pairs_raw` candidates
+    (pair_cap), but only `pairs_upper` survive to the MXU batch
+    (gemm_cap) — about half of the generic matmul(A, A^T) count."""
+    ids = np.asarray(a.ids, np.int64)
+    ids = ids[ids != int(SENTINEL)]
+    nbc, nbr = a.nb_cols, a.nb_rows
+    row, col = ids // nbc, ids % nbc
+    # A^T in canonical sorted order; its block-rows are A's block-cols.
+    at = np.sort(col * nbr + row)
+    at_row, at_col = at // nbr, at % nbr
+    lo = np.searchsorted(at_row, col, side="left")
+    hi = np.searchsorted(at_row, col, side="right")
+    cnt = hi - lo
+    pairs_raw = int(cnt.sum())
+    offs = np.concatenate([[0], np.cumsum(cnt)])
+    max_b_row = int(np.bincount(col).max()) if ids.size else 0
+    pairs_upper = 0
+    out_ids: set = set()
+    CHUNK = 1 << 22
+    for s in range(0, pairs_raw, CHUNK):
+        p = np.arange(s, min(s + CHUNK, pairs_raw))
+        e = np.searchsorted(offs, p, side="right") - 1
+        t = p - offs[e]
+        j = lo[e] + t
+        keep = row[e] <= at_col[j]
+        pairs_upper += int(keep.sum())
+        cid = (row[e] * nbr + at_col[j])[keep]
+        out_ids.update(np.unique(cid).tolist())
+    if out_ids:
+        oid = np.fromiter(out_ids, np.int64)
+        out_diag = int(np.sum(oid // nbr == oid % nbr))
+        max_c_row = int(np.bincount(oid // nbr).max())
+    else:
+        out_diag = max_c_row = 0
+    return SyrkPlan(
+        pairs_raw, pairs_upper, len(out_ids), out_diag, max_b_row, max_c_row
     )
 
 

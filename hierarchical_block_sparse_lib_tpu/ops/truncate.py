@@ -36,9 +36,15 @@ def truncate(
     whose aggregate norm is <= tau (the reference's hierarchical pruning
     semantics, SURVEY.md section 4.3); default is leaf-block truncation.
     """
-    tau2 = jnp.square(jnp.asarray(tau, jnp.float32))
+    # Threshold at the norm accumulation dtype (f64 under x64 mode).
+    tdt = jnp.promote_types(a.dtype, jnp.float32)
+    tau2 = jnp.square(jnp.asarray(tau, tdt))
     if subtree_level is None:
-        if jax.default_backend() == "tpu" and a.block_size % 128 == 0:
+        if (
+            jax.default_backend() == "tpu"
+            and a.block_size % 128 == 0
+            and a.dtype != jnp.float64
+        ):
             # Fused norm+compare Pallas pass (BASELINE.json:5).
             from hierarchical_block_sparse_lib_tpu.kernels.pallas_norms import (
                 norms_and_keep,
@@ -55,7 +61,7 @@ def truncate(
         keys = morton.subtree_key(code, depth, subtree_level)
         keys = jnp.where(a.valid_mask(), keys, 4**subtree_level)
         agg = (
-            jnp.zeros((4**subtree_level + 1,), jnp.float32)
+            jnp.zeros((4**subtree_level + 1,), norms2.dtype)
             .at[keys]
             .add(norms2, mode="drop")
         )

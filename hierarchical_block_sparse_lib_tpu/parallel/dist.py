@@ -173,7 +173,10 @@ def dist_spgemm(
             )
             c, add_ovf = basic.add_with_info(c, c_s, cap=out_cap)
             pairs = pairs + info.n_block_pairs
-            ovf = ovf | info.pair_overflow | info.out_overflow | add_ovf
+            ovf = (
+                ovf | info.pair_overflow | info.out_overflow
+                | info.row_overflow | add_ovf
+            )
             return c, b_nxt, pairs, ovf
 
         c, _, pairs, ovf = jax.lax.fori_loop(
@@ -311,7 +314,10 @@ def dist_sp2_step(
             )
             c, add_ovf = basic.add_with_info(c, c_s, cap=out_cap)
             pairs = pairs + info.n_block_pairs
-            ovf = ovf | info.pair_overflow | info.out_overflow | add_ovf
+            ovf = (
+                ovf | info.pair_overflow | info.out_overflow
+                | info.row_overflow | add_ovf
+            )
             return c, b_nxt, pairs, ovf
 
         x2, _, pairs, ovf = jax.lax.fori_loop(

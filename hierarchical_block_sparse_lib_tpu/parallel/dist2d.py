@@ -201,7 +201,10 @@ def dist2d_spgemm(
             )
             c, add_ovf = basic.add_with_info(c, c_s, cap=out_cap)
             pairs = pairs + info.n_block_pairs
-            ovf = ovf | info.pair_overflow | info.out_overflow | add_ovf
+            ovf = (
+                ovf | info.pair_overflow | info.out_overflow
+                | info.row_overflow | add_ovf
+            )
             return c, a_nxt, b_nxt, pairs, ovf
 
         c, _, _, pairs, ovf = jax.lax.fori_loop(

@@ -45,7 +45,10 @@ class Counters:
         outs = getattr(info, "n_out_blocks", None)
         if outs is not None:
             self.n_out_blocks += int(np.asarray(outs).sum())
-        for f in ("pair_overflow", "out_overflow", "repack_overflow"):
+        for f in (
+            "pair_overflow", "out_overflow", "row_overflow",
+            "repack_overflow",
+        ):
             v = getattr(info, f, None)
             if v is not None and bool(np.asarray(v).any()):
                 self.overflows += 1

@@ -177,6 +177,71 @@ def test_syrk():
         np.asarray(hbsm.to_dense(Ct)), d.T @ d, rtol=2e-5, atol=2e-5
     )
     assert int(info.n_block_pairs) > 0
+    # Symmetry exploitation: upper-only enumeration does (full + diag)/2
+    # pairs — strictly fewer than the generic multiply.
+    from hierarchical_block_sparse_lib_tpu.ops.spgemm import (
+        plan_spgemm, plan_syrk,
+    )
+    from hierarchical_block_sparse_lib_tpu.ops import basic
+
+    full_pairs, _ = plan_spgemm(A, basic.transpose(A))
+    plan = plan_syrk(A)
+    assert int(info.n_block_pairs) == plan.pairs_upper
+    assert plan.pairs_upper < full_pairs
+    assert plan.pairs_raw == full_pairs
+    # Upper-only mode returns just the triangle.
+    Cu, _ = hbsm.syrk(A, full=False)
+    ref = d @ d.T
+    ref_u = np.zeros_like(ref)
+    nb = 96 // 16
+    for i in range(nb):
+        for j in range(i, nb):
+            ref_u[i * 16:(i + 1) * 16, j * 16:(j + 1) * 16] = ref[
+                i * 16:(i + 1) * 16, j * 16:(j + 1) * 16
+            ]
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(Cu)), ref_u, rtol=2e-5, atol=2e-5
+    )
+
+
+def test_syrk_rows_backend():
+    """syrk through the row-panel kernel (in-kernel triu skip) must match
+    the oracle — exercised at b=128 in interpret mode."""
+    import jax.numpy as jnp
+    import hierarchical_block_sparse_lib_tpu as hbsm
+
+    rng = np.random.default_rng(17)
+    b, nb = 128, 4
+    n = b * nb
+    keep = rng.random((nb, nb)) < 0.6
+    d = rng.standard_normal((n, n)).astype(np.float32)
+    for i in range(nb):
+        for j in range(nb):
+            if not keep[i, j]:
+                d[i * b:(i + 1) * b, j * b:(j + 1) * b] = 0
+    A = hbsm.from_dense(d, block_size=b)
+    C, info = hbsm.syrk(A, backend="rows")
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(C)), d @ d.T, rtol=2e-4, atol=1e-2
+    )
+    assert not bool(info.pair_overflow)
+    assert not bool(info.out_overflow)
+
+
+def test_triu_tril_filter():
+    import hierarchical_block_sparse_lib_tpu as hbsm
+
+    rng = np.random.default_rng(23)
+    d = rng.standard_normal((64, 64)).astype(np.float32)
+    A = hbsm.from_dense(d, block_size=16)
+    up = np.triu(np.ones((4, 4))).repeat(16, 0).repeat(16, 1)
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(hbsm.triu(A))), d * up
+    )
+    lo_strict = np.tril(np.ones((4, 4)), -1).repeat(16, 0).repeat(16, 1)
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(hbsm.tril(A, strict=True))), d * lo_strict
+    )
 
 
 def test_gershgorin_bound():

@@ -102,6 +102,78 @@ def test_overflow_reported():
     assert bool(info.pair_overflow)
 
 
+def test_row_caps_overflow_reported():
+    """Undersized row_caps on the row-panel kernel must flag
+    row_overflow instead of silently clamping (ADVICE.md r1 high).
+    Needs a B block-row wider than the bucketed cap (multiple of 8)."""
+    import jax.numpy as jnp
+
+    b, nb = 128, 16
+    n = b * nb
+    rng = np.random.default_rng(11)
+
+    def mk(ids):
+        ids = np.sort(np.asarray(ids, np.int32))
+        return hbsm.BlockMatrix(
+            ids=jnp.asarray(ids),
+            data=jnp.asarray(
+                rng.standard_normal((len(ids), b, b)).astype(np.float32)
+            ),
+            nnz=jnp.asarray(len(ids), jnp.int32),
+            n_rows=n, n_cols=n, block_size=b,
+        )
+
+    A = mk([0, 1])  # blocks (0,0), (0,1)
+    B = mk(list(range(nb)))  # block-row 0 fully dense: 16 blocks
+    # B row 0 has 16 blocks > bucket(8) = 8 -> clamped -> must be flagged.
+    _, info = hbsm.spgemm(
+        A, B, pair_cap=16, out_cap=16, backend="rows", row_caps=(8, 16)
+    )
+    assert bool(info.row_overflow)
+    # Exact caps: no flag, result matches the dense oracle.
+    C, info = hbsm.spgemm(
+        A, B, pair_cap=16, out_cap=16, backend="rows", row_caps=(16, 16)
+    )
+    assert not bool(info.row_overflow)
+    dA = np.asarray(hbsm.to_dense(A))
+    dB = np.asarray(hbsm.to_dense(B))
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(C)), dA @ dB, rtol=2e-4, atol=1e-2
+    )
+
+
+def test_leaf_granularity_accounting():
+    """Occupancy-tracked coarsening reports the EXACT logical-leaf
+    multiply count — it must equal the pair count of the same multiply
+    planned at the original (fine) block granularity (the host oracle;
+    SURVEY.md section 8.5, VERDICT r1 item 2)."""
+    n, bw, b_fine, f = 512, 24, 16, 8  # coarsen 16 -> 128 tiles
+    r, c, v = gen.banded_coo(n, bw, seed=8)
+    A16 = hbsm.from_coo(r, c, v, n, block_size=b_fine)
+    fine_pairs, _ = plan_spgemm(A16, A16)
+
+    A128, occ = hbsm.coarsen(A16, f, track_leaves=True)
+    assert occ.shape == (A128.cap, f, f)
+    assert int(occ.sum()) == int(A16.nnz)
+    pc, oc = plan_spgemm(A128, A128)
+    C, info = hbsm.spgemm(
+        A128, A128, pair_cap=pc, out_cap=oc,
+        a_leaf_occ=occ, b_leaf_occ=occ,
+    )
+    assert int(info.n_leaf_multiplies) == fine_pairs
+    # The tile-level count inflated by padding: strictly more leaf-slots
+    # than real leaf multiplies.
+    assert fine_pairs < int(info.n_block_pairs) * f**3
+    # Untracked multiplies report -1 (not a bogus zero).
+    _, info2 = hbsm.spgemm(A128, A128, pair_cap=pc, out_cap=oc)
+    assert int(info2.n_leaf_multiplies) == -1
+    # Numerics unchanged by the accounting.
+    dA = gen.dense_oracle(r, c, v, n)
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(C))[:n, :n], dA @ dA, rtol=2e-4, atol=1e-2
+    )
+
+
 def test_empty_operand():
     A = hbsm.empty(64, 64, 16, cap=4)
     B = hbsm.eye(64, 16)
