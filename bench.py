@@ -45,13 +45,18 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_chained(build, data0, Ks, reps=2):
+def bench_chained(build, data0, Ks, reps=3):
     """Per-iteration seconds of `build(d)->array` via chained differential
-    timing (see module docstring)."""
+    timing (see module docstring).
+
+    Variance control (VERDICT r1 item 5): `reps` fresh-input repetitions
+    per K, per-K minimum (the tightest consistent dispatch constant),
+    differential slope between the K extremes; the min/median spread is
+    logged so drift is visible in the bench record."""
     import jax
     import jax.numpy as jnp
 
-    ts = {}
+    t_min, t_med = {}, {}
     for K in Ks:
         def prog(d, K=K):
             def body(i, carry):
@@ -64,16 +69,22 @@ def bench_chained(build, data0, Ks, reps=2):
 
         g = jax.jit(prog)
         float(g(data0))  # compile + cold run
-        best = None
+        times = []
         for r in range(reps):
             fresh = data0 * (1.0 + (r + 1) * 1e-5)
             float(fresh.ravel()[0])  # materialize the perturbed input
             t0 = time.perf_counter()
             float(g(fresh))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        ts[K] = best
-    return (ts[Ks[1]] - ts[Ks[0]]) / (Ks[1] - Ks[0])
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        t_min[K] = times[0]
+        t_med[K] = times[len(times) // 2]
+    dK = Ks[-1] - Ks[0]
+    slope_min = (t_min[Ks[-1]] - t_min[Ks[0]]) / dK
+    slope_med = (t_med[Ks[-1]] - t_med[Ks[0]]) / dK
+    spread = abs(slope_med - slope_min) / max(slope_min, 1e-12)
+    log(f"  [timing spread min->med: {spread:.1%}]")
+    return slope_min
 
 
 def random_block_matrix(n, b, density, seed=0, dtype=np.float32):
@@ -109,7 +120,12 @@ def banded_block_matrix(n, bw, b, seed=0):
     return m
 
 
-def bench_spgemm(A, name, Ks=(5, 25), precision="highest"):
+def bench_spgemm(A, name, Ks=(5, 25), precision="highest", leaf=None):
+    """Time C = A@A.  With `leaf=(b_fine, fine_pairs, occ)` additionally
+    report the HONEST leaf-granularity counters (VERDICT r1 item 2): the
+    reference's leaves are 16/32, and counting 2*128^3 FLOPs per padded
+    MXU tile-pair inflates 'effective GFLOP/s'; the dual numbers separate
+    machine throughput (tile) from algorithmic work (leaf)."""
     import dataclasses
     import hierarchical_block_sparse_lib_tpu as hbsm
     from hierarchical_block_sparse_lib_tpu.ops.spgemm import plan_spgemm_ex
@@ -133,9 +149,64 @@ def bench_spgemm(A, name, Ks=(5, 25), precision="highest"):
         f"row_caps=({mbr},{mcr}) t={dt*1e3:.2f} ms eff={eff_gflops:.1f} "
         f"GFLOP/s nnz-block-GEMMs/s={pairs_per_s:,.0f}"
     )
-    return dict(
+    res = dict(
         name=name, pairs=int(pc), out=int(oc), time_s=dt,
         eff_gflops=eff_gflops, pairs_per_s=pairs_per_s,
+    )
+    if leaf is not None:
+        b_fine, fine_pairs, occ = leaf
+        # Library-path cross-check (untimed): the occupancy-tracked
+        # counter must equal the host plan at fine granularity.
+        _, info = hbsm.spgemm(
+            A, A, pair_cap=pc, out_cap=oc, a_leaf_occ=occ, b_leaf_occ=occ,
+        )
+        n_leaf = int(info.n_leaf_multiplies)
+        assert n_leaf == fine_pairs, (n_leaf, fine_pairs)
+        leaf_gflops = 2 * b_fine**3 * n_leaf / dt / 1e9
+        log(
+            f"{name} leaf-{b_fine} accounting: {n_leaf} leaf GEMMs "
+            f"({n_leaf/dt:,.0f}/s), honest eff={leaf_gflops:.1f} GFLOP/s "
+            f"(tile padding inflation {2*b**3*pc/max(1,2*b_fine**3*n_leaf):.1f}x)"
+        )
+        res.update(
+            leaf_b=b_fine, leaf_pairs=n_leaf, leaf_eff_gflops=leaf_gflops
+        )
+    return res
+
+
+def bench_colslab(n, density, n_slabs, Ks=(1, 3), precision="highest",
+                  seed=4):
+    """B4 at the configured near-dense size via the column-slab tier
+    (BASELINE.json:10; VERDICT r1 item 4)."""
+    import dataclasses
+    import hierarchical_block_sparse_lib_tpu as hbsm
+    from hierarchical_block_sparse_lib_tpu.ops.slab import (
+        plan_colslab, spgemm_colslab,
+    )
+
+    A = random_block_matrix(n, 128, density, seed=seed)
+    plan = plan_colslab(A, A, n_slabs)
+    log(
+        f"B4 {n}^2 {density:.0%}: blocks={int(A.nnz)} "
+        f"pairs={plan.total_pairs} out={plan.n_out} slabs={n_slabs}"
+    )
+
+    def build(d):
+        m = dataclasses.replace(A, data=d)
+        C, _ = spgemm_colslab(m, m, plan=plan, precision=precision)
+        return C.data
+
+    dt = bench_chained(build, A.data, Ks, reps=2)
+    pc = plan.total_pairs
+    eff_gflops = 2 * 128**3 * pc / dt / 1e9
+    log(
+        f"B4 near-dense({n}, {density:.0%}) x{n_slabs} slabs: "
+        f"t={dt*1e3:.1f} ms eff={eff_gflops:.1f} GFLOP/s "
+        f"nnz-block-GEMMs/s={pc/dt:,.0f}"
+    )
+    return dict(
+        name=f"B4-{n}", pairs=pc, time_s=dt, eff_gflops=eff_gflops,
+        pairs_per_s=pc / dt,
     )
 
 
@@ -221,24 +292,46 @@ def main():
                                      precision=args.precision)
         dense_t, _ = bench_dense_equiv(16384, Ks=(1, 3),
                                        precision=args.precision)
+        def _b1():
+            # B1 at the reference's leaf 16 with occupancy tracking:
+            # coarsen to MXU tiles, keep BOTH counters honest.
+            import hierarchical_block_sparse_lib_tpu as hbsm
+            from hierarchical_block_sparse_lib_tpu.ops.spgemm import (
+                plan_spgemm,
+            )
+            from hierarchical_block_sparse_lib_tpu.utils import (
+                generators as gen,
+            )
+
+            n, bw = 4096, 64
+            r, c, v = gen.banded_coo(n, bw, seed=0)
+            A16 = hbsm.from_coo(r, c, v, n, block_size=16)
+            fine_pairs, _ = plan_spgemm(A16, A16)
+            A, occ = hbsm.coarsen(A16, 8, track_leaves=True)
+            results["B1"] = bench_spgemm(
+                A, "B1 banded(4096, bw64)", Ks=(5, 25),
+                precision=args.precision, leaf=(16, fine_pairs, occ),
+            )
+
         for stage in (
-            lambda: results.__setitem__(
-                "B1",
-                bench_spgemm(
-                    banded_block_matrix(4096, 64, 128),
-                    "B1 banded(4096, bw64)", Ks=(5, 25),
-                    precision=args.precision,
-                ),
-            ),
+            _b1,
             lambda: results.__setitem__("B3", bench_truncation_pipeline()),
-            # B4 at 8192^2 keeps the near-dense character within the
-            # bench's wall budget (16384^2 runs ~0.26 s/iter on the
-            # row-panel kernel; see BASELINE.md).
+            # B4 warm-up scale (single row-panel kernel call)...
             lambda: results.__setitem__(
                 "B4",
                 bench_spgemm(
                     random_block_matrix(8192, 128, 0.5, seed=4),
                     "B4 near-dense(8192, 50%)", Ks=(2, 6),
+                    precision=args.precision,
+                ),
+            ),
+            # ...and the CONFIGURED size (BASELINE.json:10): 32768^2, 50%
+            # block density, ~8.4M pairs / ~2.1 GB of blocks, via the
+            # column-slab tier.
+            lambda: results.__setitem__(
+                "B4full",
+                bench_colslab(
+                    32768, 0.5, n_slabs=8, Ks=(1, 3),
                     precision=args.precision,
                 ),
             ),
