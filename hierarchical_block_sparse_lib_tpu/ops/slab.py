@@ -48,6 +48,12 @@ class SlabSpec:
     out_cap: int
     row_caps: tuple  # (max_b_row, max_c_row) within the slab
     pos: np.ndarray  # int32[out_cap] — slots in the final output array
+    # Host-computed slab extraction: storage positions of the slab's B
+    # blocks and their slab-local remapped ids.  A static gather instead
+    # of a device-side full-size mask+sort — at B4's 32768^2 scale the
+    # masked copies were 8 x 2 GB of HLO temps (compile-time OOM).
+    gather_idx: np.ndarray  # int32[cap]
+    local_ids: np.ndarray  # int32[cap]
 
 
 @dataclass(frozen=True)
@@ -69,9 +75,8 @@ def plan_colslab(a: BlockMatrix, b: BlockMatrix, n_slabs: int) -> ColslabPlan:
     b_ids = np.asarray(b.ids)
     sent = int(SENTINEL)
     a_ids_v = a_ids[a_ids != sent]
-    b_ids_v = b_ids[b_ids != sent]
     nbc = b.nb_cols
-    bcol = b_ids_v % nbc
+    bcol_full = np.where(b_ids != sent, b_ids % nbc, -1)
     bounds = np.linspace(0, nbc, n_slabs + 1).astype(int)
     slabs = []
     slab_gids = []
@@ -80,13 +85,17 @@ def plan_colslab(a: BlockMatrix, b: BlockMatrix, n_slabs: int) -> ColslabPlan:
         j0, j1 = int(bounds[s]), int(bounds[s + 1])
         if j1 <= j0:
             continue
-        sel = (bcol >= j0) & (bcol < j1)
+        sel = (bcol_full >= j0) & (bcol_full < j1)
         cap_s = int(sel.sum())
         if cap_s == 0:
             continue
         nbc_s = j1 - j0
-        sub = b_ids_v[sel]
+        gidx = np.nonzero(sel)[0].astype(np.int32)
+        sub = b_ids[gidx].astype(np.int64)
         sub_local = ((sub // nbc) * nbc_s + (sub % nbc - j0)).astype(np.int32)
+        ordr = np.argsort(sub_local, kind="stable")
+        gidx = gidx[ordr]
+        sub_local = sub_local[ordr]
         pc, oc, mbr, mcr = native.plan_spgemm_ex(
             a_ids, sub_local, a.nb_cols, b.nb_rows, nbc_s
         )
@@ -104,17 +113,17 @@ def plan_colslab(a: BlockMatrix, b: BlockMatrix, n_slabs: int) -> ColslabPlan:
         gids = ((loc // nbc_s) * nbc + (loc % nbc_s + j0)).astype(np.int64)
         slab_gids.append(gids)
         total_pairs += pc
-        slabs.append((j0, j1, cap_s, pc, oc, (mbr, mcr), gids))
+        slabs.append((j0, j1, cap_s, pc, oc, (mbr, mcr), gids, gidx, sub_local))
     if not slabs:
         return ColslabPlan(
             slabs=(), out_ids=np.empty(0, np.int32), total_pairs=0
         )
     out_ids = np.sort(np.concatenate(slab_gids))
     specs = []
-    for j0, j1, cap_s, pc, oc, rc, gids in slabs:
+    for j0, j1, cap_s, pc, oc, rc, gids, gidx, sloc in slabs:
         pos = np.searchsorted(out_ids, gids).astype(np.int32)
         assert pos.size == oc
-        specs.append(SlabSpec(j0, j1, cap_s, pc, oc, rc, pos))
+        specs.append(SlabSpec(j0, j1, cap_s, pc, oc, rc, pos, gidx, sloc))
     return ColslabPlan(
         slabs=tuple(specs),
         out_ids=out_ids.astype(np.int32),
@@ -142,27 +151,17 @@ def _out_ids_numpy(a_ids_v, b_local_sorted, a_nbc, nbc_s):
     return np.sort(np.fromiter(out, np.int64)) if out else np.empty(0, np.int64)
 
 
-def _colslab(b: BlockMatrix, j0: int, j1: int, cap: int) -> BlockMatrix:
-    """Blocks of B with block-col in [j0, j1), ids remapped to the slab's
-    local column space.  Relative order is preserved by the remap (the
-    restriction of a row-major sort to a column range is row-major), so
-    one argsort-compaction suffices."""
-    nbc_s = j1 - j0
-    valid = b.valid_mask()
-    bcol = b.ids % b.nb_cols
-    keep = valid & (bcol >= j0) & (bcol < j1)
-    new_id = jnp.where(
-        keep, (b.ids // b.nb_cols) * nbc_s + (bcol - j0), SENTINEL
-    ).astype(jnp.int32)
-    order = jnp.argsort(new_id)
-    ids = new_id[order][:cap]
-    data = jnp.where(keep[:, None, None], b.data, 0)[order][:cap]
+def _colslab(b: BlockMatrix, sl: SlabSpec) -> BlockMatrix:
+    """Slab extraction as a host-planned static gather: slab-local ids
+    are compile-time constants; only the cap_s-block data gather runs on
+    device (no full-size masked temporaries)."""
+    data = b.data[jnp.asarray(sl.gather_idx)]
     return BlockMatrix(
-        ids=ids,
+        ids=jnp.asarray(sl.local_ids),
         data=data,
-        nnz=jnp.sum(keep).astype(jnp.int32),
+        nnz=jnp.asarray(sl.cap, jnp.int32),
         n_rows=b.n_rows,
-        n_cols=nbc_s * b.block_size,
+        n_cols=(sl.j1 - sl.j0) * b.block_size,
         block_size=b.block_size,
     )
 
@@ -206,7 +205,7 @@ def spgemm_colslab(
     ovf = jnp.zeros((), bool)
     row_ovf = jnp.zeros((), bool)
     for sl in plan.slabs:
-        b_s = _colslab(b, sl.j0, sl.j1, sl.cap)
+        b_s = _colslab(b, sl)
         c_s, info = spgemm(
             a,
             b_s,
