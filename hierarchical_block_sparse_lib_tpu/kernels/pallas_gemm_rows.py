@@ -98,14 +98,23 @@ def supported(b: int, dtype, b_row_max: int, c_row_max: int, nbc: int) -> bool:
 
 def _make_kernel(
     b, b_row_max, c_row_max, nbc, precision, n_rows_grid, out_cap,
-    acc_p, panel_p, filtered, triu,
+    acc_p, panel_p, filtered, triu, wide, cap_b,
 ):
     # Power-of-two DMA sizes covering every bit of any bcnt <= b_row_max.
-    chunk_sizes = [1 << k for k in range(max(b_row_max.bit_length(), 1))]
+    # Clamped by the HBM operand capacity: pl.when branches are traced
+    # unconditionally, and a traced slice larger than the array is a
+    # trace-time error even if never executed.
+    chunk_sizes = [
+        1 << k
+        for k in range(max(min(b_row_max, cap_b).bit_length(), 1))
+    ]
     chunk_sizes.reverse()  # e.g. [16, 8, 4, 2, 1]
     # Same for C-row flushes (exact pow2 decomposition: no overstore, so
     # the output is allocated at exactly out_cap and rows never race).
-    flush_sizes = [1 << k for k in range(max(c_row_max.bit_length(), 1))]
+    flush_sizes = [
+        1 << k
+        for k in range(max(min(c_row_max, out_cap).bit_length(), 1))
+    ]
     flush_sizes.reverse()
 
     def kernel(
@@ -250,6 +259,50 @@ def _make_kernel(
                 wait_e(par, e)
                 blo, bcnt = _panel_range(e)
 
+                if wide:
+                    # Panel-wide MXU dots (the per-pair dot is issue-bound
+                    # at ~128 cycles/pass on one MXU; a [b, t*b] wide-N dot
+                    # spreads across the chip's MXUs).  The panel holds
+                    # BLOCK-TRANSPOSED B data, so
+                    #   A @ [B_k,j1 | B_k,j2 | ...]
+                    #   = dot(A, stack(B^T blocks), contract lhs1 rhs1).
+                    def chunk(off, csize):
+                        flat = b_panel[par, pl.ds(off, csize)].reshape(
+                            csize * b, b
+                        )
+                        prod = jax.lax.dot_general(
+                            a_buf[par],
+                            flat,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=_PRECISION[precision],
+                        )  # [b, csize*b]
+                        # Static unroll: csize is compile-time, so each
+                        # product block is a static lane-slice (Mosaic
+                        # has no dynamic_slice on values).
+                        for idx in range(csize):
+                            pos = jnp.clip(
+                                postable[b_col_ref[blo + off + idx]],
+                                0, c_row_max - 1,
+                            )
+                            acc[fpar, pos] += prod[:, idx * b:(idx + 1) * b]
+
+                    # Fixed-size 8-panels + pow2 tail cover any bcnt with
+                    # bounded SSA value sizes (prod <= [b, 8b] = 512 KB).
+                    n8 = bcnt // 8
+
+                    def body8(t8, _):
+                        chunk(t8 * 8, 8)
+                        return 0
+
+                    jax.lax.fori_loop(0, n8, body8, 0)
+                    for s_ in (4, 2, 1):
+                        @pl.when((bcnt & s_) != 0)
+                        def _(s_=s_):
+                            off = (bcnt & ~(s_ - 1)) - s_
+                            chunk(off, s_)
+                    return 0
+
                 def dotloop(t2, _):
                     def compute():
                         prod = jax.lax.dot_general(
@@ -328,7 +381,7 @@ def _make_kernel(
     jax.jit,
     static_argnames=(
         "nbr", "nbrB", "nbc", "out_cap", "b_row_max", "c_row_max",
-        "precision", "interpret", "triu",
+        "precision", "interpret", "triu", "wide",
     ),
 )
 def rows_spgemm(
@@ -349,6 +402,7 @@ def rows_spgemm(
     b_norms2: jax.Array | None = None,  # f32[capB]
     tau2: jax.Array | None = None,  # f32[] squared threshold
     triu: bool = False,  # syrk mode: compute only outputs with col >= row
+    wide: bool | None = None,  # panel-wide dots (needs no filter/triu)
 ) -> jax.Array:
     """f32[out_cap, b, b]: block products accumulated into the slots given
     by `out_ids` (which must be exactly the distinct products' ids, row-
@@ -359,6 +413,7 @@ def rows_spgemm(
     b = a_data.shape[-1]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    raw_b_row_max = max(b_row_max, 1)
     b_row_max = _bucket(max(b_row_max, 1))
     c_row_max = _bucket(max(c_row_max, 1))
 
@@ -396,13 +451,26 @@ def rows_spgemm(
         )
     acc_p, panel_p = tier
     filtered = a_norms2 is not None
+    if wide is None:
+        # Wide dots win when panels are wide enough to amortize the
+        # B block-transpose pass and the chunked dot issue; narrow
+        # banded panels (B1: ~3 blocks/row) measured faster per-pair.
+        wide = raw_b_row_max >= 5
+    if filtered or triu:
+        # Per-pair skip decisions are incompatible with panel-wide dots.
+        wide = False
+    if wide:
+        # Block-transpose B so a row panel stacks [B_kj^T; ...] — then
+        # one dot(A, panel, contract lhs1/rhs1) = A @ [B_kj | ...].
+        # One fused XLA pass over B, amortized over all pairs.
+        b_data = jnp.swapaxes(b_data, -1, -2)
     kernel = _make_kernel(
         b, b_row_max, c_row_max, nbc, precision, nbr, out_cap, acc_p,
-        panel_p, filtered, triu,
+        panel_p, filtered, triu, wide, b_data.shape[0],
     )
     vma = getattr(jax.typeof(a_data), "vma", frozenset())
-    n_chunk_sizes = max(b_row_max.bit_length(), 1)
-    n_flush_sizes = max(c_row_max.bit_length(), 1)
+    n_chunk_sizes = max(min(b_row_max, b_data.shape[0]).bit_length(), 1)
+    n_flush_sizes = max(min(c_row_max, out_cap).bit_length(), 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6 + (3 if filtered else 0),
         grid=(nbr,),
