@@ -191,6 +191,18 @@ def _make_kernel(
             k = a_col_ref[e]
             blo = b_row_start_ref[k]
             bcnt = jnp.minimum(b_row_start_ref[k + 1] - blo, b_row_max)
+            if triu:
+                # Symmetric (syrk) mode: columns within a B row are
+                # sorted, so the j >= i pairs form a suffix — narrow the
+                # panel to it.  Saves the lower-triangle DMA and MXU
+                # work exactly, and every fetched pair is then valid
+                # (wide dots need no per-pair skip).
+                def cnt_lt(t, acc2):
+                    return acc2 + (b_col_ref[blo + t] < i).astype(jnp.int32)
+
+                skip = jax.lax.fori_loop(0, bcnt, cnt_lt, jnp.int32(0))
+                blo = blo + skip
+                bcnt = bcnt - skip
             return blo, bcnt
 
         def fetch_e(par, e):
@@ -317,21 +329,13 @@ def _make_kernel(
                         )
                         acc[fpar, pos] += prod
 
-                    keep = None
+                    # triu needs no per-pair check here: _panel_range
+                    # already narrowed the panel to the j >= i suffix.
                     if filtered:
                         # Skip the MXU work for pairs below the SpAMM
                         # bound — the exact comparison the symbolic
                         # phase used, so out_ids stays consistent.
-                        keep = an2_ref[e] * bn2_ref[blo + t2] > tau2_ref[0]
-                    if triu:
-                        # Symmetric (syrk) mode: only upper-triangle
-                        # outputs j >= i are planned in out_ids; lower
-                        # pairs must be skipped or they would corrupt
-                        # another slot via the postable clamp.
-                        up = b_col_ref[blo + t2] >= i
-                        keep = up if keep is None else (keep & up)
-                    if keep is not None:
-                        @pl.when(keep)
+                        @pl.when(an2_ref[e] * bn2_ref[blo + t2] > tau2_ref[0])
                         def _():
                             compute()
                     else:
@@ -358,9 +362,25 @@ def _make_kernel(
                     state[1 + par] = 0
             # Zero-fill unused tail slots [n_unique, out_cap) so the
             # all-zero-padding invariant holds without a caller-side
-            # full-array mask pass (exact planning -> zero iterations).
+            # full-array mask pass.  Chunked by whole accumulator panels
+            # (c_row_max blocks per DMA): with a 4x-oversized out_cap
+            # (purification regime) per-block DMAs cost milliseconds.
             used = c_row_start_ref[n_rows_grid]
-            acc[0, 0] = jnp.zeros((b, b), jnp.float32)
+            zc = min(c_row_max, out_cap)
+            acc[0] = jnp.zeros((c_row_max, b, b), jnp.float32)
+            nfull = jnp.maximum((out_cap - used) // zc, 0)
+
+            def zchunk(t, _):
+                dma = pltpu.make_async_copy(
+                    acc.at[0, pl.ds(0, zc)],
+                    o_hbm.at[pl.ds(used + t * zc, zc)],
+                    z_sem,
+                )
+                dma.start()
+                dma.wait()
+                return 0
+
+            jax.lax.fori_loop(0, nfull, zchunk, 0)
 
             def zfill(s, _):
                 dma = pltpu.make_async_copy(
@@ -370,7 +390,7 @@ def _make_kernel(
                 dma.wait()
                 return 0
 
-            jax.lax.fori_loop(used, out_cap, zfill, 0)
+            jax.lax.fori_loop(used + nfull * zc, out_cap, zfill, 0)
 
         return
 
@@ -456,8 +476,9 @@ def rows_spgemm(
         # B block-transpose pass and the chunked dot issue; narrow
         # banded panels (B1: ~3 blocks/row) measured faster per-pair.
         wide = raw_b_row_max >= 5
-    if filtered or triu:
-        # Per-pair skip decisions are incompatible with panel-wide dots.
+    if filtered:
+        # Per-pair norm-filter decisions are incompatible with
+        # panel-wide dots (triu is fine: panels are pre-narrowed).
         wide = False
     if wide:
         # Block-transpose B so a row panel stacks [B_kj^T; ...] — then

@@ -102,6 +102,45 @@ def tril(a: BlockMatrix, strict: bool = False) -> BlockMatrix:
     return filter_blocks(a, (brow > bcol) if strict else (brow >= bcol))
 
 
+@partial(jax.jit, static_argnames=("cap",))
+def symmetrize_upper(a: BlockMatrix, cap: int):
+    """(S, overflow): S = upper(A) mirrored to the lower triangle
+    (S_ij = A_ij for i <= j, S_ji = A_ij^T), at capacity `cap`.
+
+    One fused concat+sort+scatter pass — replaces the
+    triu -> transpose -> add chain (3 sorts + 2 data passes) that made
+    symmetric purification bookkeeping-bound at small orders."""
+    brow = a.ids // a.nb_cols
+    bcol = a.ids % a.nb_cols
+    valid = a.valid_mask()
+    up = valid & (brow <= bcol)
+    strict = valid & (brow < bcol)
+    diag = valid & (brow == bcol)
+    ids_up = jnp.where(up, a.ids, SENTINEL)
+    ids_lo = jnp.where(strict, bcol * a.nb_rows + brow, SENTINEL)
+    data_up = jnp.where(up[:, None, None], a.data, 0)
+    # Diagonal blocks: average with their own transpose so S is exactly
+    # symmetric elementwise, not just blockwise.  (A B*B^T diagonal
+    # block from the MXU is symmetric only to rounding — the (a,b) and
+    # (b,a) entries sum identical products in different orders.)
+    data_up = jnp.where(
+        diag[:, None, None],
+        0.5 * (data_up + jnp.swapaxes(data_up, -1, -2)),
+        data_up,
+    )
+    data_lo = jnp.where(
+        strict[:, None, None], jnp.swapaxes(a.data, -1, -2), 0
+    )
+    ids = jnp.concatenate([ids_up, ids_lo]).astype(jnp.int32)
+    data = jnp.concatenate([data_up, data_lo])
+    out_ids, out_data, nnz = compact_sorted(ids, data, cap)
+    s = BlockMatrix(
+        ids=out_ids, data=out_data, nnz=jnp.minimum(nnz, cap),
+        n_rows=a.n_rows, n_cols=a.n_cols, block_size=a.block_size,
+    )
+    return s, nnz > cap
+
+
 def transpose(a: BlockMatrix) -> BlockMatrix:
     """B = A^T (SURVEY.md C8): remap ids (brow,bcol)->(bcol,brow), re-sort,
     and swap the trailing axes of every leaf block in one batched op."""

@@ -244,6 +244,37 @@ def test_triu_tril_filter():
     )
 
 
+def test_symmetrize_upper():
+    """S = upper(A) mirrored down: S_ij = A_ij (i<=j), S_ji = A_ij^T —
+    the fused pass behind symmetric (syrk) purification."""
+    from hierarchical_block_sparse_lib_tpu.ops.basic import symmetrize_upper
+
+    import hierarchical_block_sparse_lib_tpu as hbsm
+
+    rng = np.random.default_rng(29)
+    d = rng.standard_normal((64, 64)).astype(np.float32)
+    d[np.abs(d) < 0.8] = 0.0  # some all-zero blocks
+    # Mirroring is at BLOCK granularity: diagonal blocks are kept
+    # verbatim (not element-symmetrized), so make them symmetric the
+    # way a symmetric iterate would be.
+    for i in range(0, 64, 16):
+        blk = d[i : i + 16, i : i + 16]
+        d[i : i + 16, i : i + 16] = (blk + blk.T) / 2
+    A = hbsm.from_dense(d, block_size=16)
+    S, ovf = symmetrize_upper(A, A.cap + 16)
+    up = np.triu(np.ones((4, 4))).repeat(16, 0).repeat(16, 1)
+    want = d * up
+    strict = np.triu(np.ones((4, 4)), 1).repeat(16, 0).repeat(16, 1)
+    want = want + (d * strict).T
+    got = np.asarray(hbsm.to_dense(S))
+    np.testing.assert_allclose(got, want)
+    np.testing.assert_array_equal(got, got.T)
+    assert not bool(ovf)
+    # Overflow reported when cap is too small for the mirrored union.
+    _, ovf2 = symmetrize_upper(A, 1)
+    assert bool(ovf2)
+
+
 def test_gershgorin_bound():
     import hierarchical_block_sparse_lib_tpu as hbsm
     import numpy as np

@@ -49,6 +49,38 @@ def test_sp2_purification_converges_to_projector():
     assert np.linalg.norm(got - proj, "fro") / np.linalg.norm(proj, "fro") < 5e-3
 
 
+def test_sp2_symmetric_matches_generic():
+    """Symmetric (syrk-based, ~half pairs) SP2 must converge to the same
+    projector as the generic path on a symmetric input."""
+    n, b = 128, 16
+    nocc = 40
+    d, x0 = _hamiltonian(n, b)
+    X = hbsm.from_dense(x0, block_size=b)
+    nb = n // b
+    Xg, sg = purify(
+        X, 25, tau=1e-8, pair_cap=nb**3, out_cap=nb * nb,
+        target_trace=nocc,
+    )
+    Xs, ss = purify(
+        X, 25, tau=1e-8, pair_cap=nb**3, out_cap=nb * nb,
+        target_trace=nocc, symmetric=True,
+    )
+    for s in ss:
+        assert not bool(s.pair_overflow) and not bool(s.out_overflow)
+        assert not bool(s.repack_overflow)
+    dg = np.asarray(hbsm.to_dense(Xg))
+    ds = np.asarray(hbsm.to_dense(Xs))
+    assert np.linalg.norm(ds - dg, "fro") < 5e-3 * max(
+        1.0, np.linalg.norm(dg, "fro")
+    )
+    # The symmetric iterate is exactly block-symmetric by construction.
+    np.testing.assert_array_equal(ds, ds.T)
+    # ~Half the pairs: upper-only enumeration.
+    pg = sum(int(s.n_block_pairs) for s in sg)
+    ps = sum(int(s.n_block_pairs) for s in ss)
+    assert ps < 0.65 * pg, (ps, pg)
+
+
 def test_sp2_step_branches():
     """trace > target takes X^2; trace <= target takes 2X - X^2."""
     n, b = 64, 16
