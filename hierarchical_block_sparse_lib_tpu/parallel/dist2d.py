@@ -128,22 +128,23 @@ def _rotate_minus1(m: BlockMatrix, axis: str, p: int) -> BlockMatrix:
 
 def _skew(m: BlockMatrix, shift_axis: str, by_axis: str, p: int) -> BlockMatrix:
     """Cannon pre-skew: along `shift_axis`, rotate shard index down by the
-    device's index on `by_axis` (row i of A moves i steps left)."""
-    # ppermute perms are static; a data-dependent shift becomes p-1
-    # single-step rotations, each applied only where by_index > step.
-    out = m
-    by = jax.lax.axis_index(by_axis)
-    for s in range(p - 1):
-        rot = _rotate_minus1(out, shift_axis, p)
-        keep_rot = by > s
-        out = jax.tree.map(
-            lambda r, o: jnp.where(
-                jnp.reshape(keep_rot, (1,) * r.ndim), r, o
-            ),
-            rot,
-            out,
-        )
-    return out
+    device's index on `by_axis` (row i of A moves i steps left).
+
+    One static source->dest `ppermute` over the linearized ("r", "c")
+    axis pair — the shift amount varies per row/column, which a
+    single-axis perm cannot express, but the combined-axis perm can.
+    (Replaces p-1 masked whole-shard rotations: each shard now moves
+    exactly one hop-distance instead of up to p-1 serial hops.)"""
+    perm = []
+    for r in range(p):
+        for c in range(p):
+            src = r * p + c
+            if shift_axis == "c":
+                dst = r * p + ((c - r) % p)
+            else:
+                dst = ((r - c) % p) * p + c
+            perm.append((src, dst))
+    return _shift(m, ("r", "c"), perm)
 
 
 def dist2d_spgemm(
