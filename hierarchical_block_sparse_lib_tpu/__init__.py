@@ -35,6 +35,7 @@ from hierarchical_block_sparse_lib_tpu.core.assembly import (
     from_dense,
     to_dense,
     to_coo,
+    to_coo_chunks,
     get_values,
     empty,
     eye,
@@ -80,6 +81,7 @@ __all__ = [
     "from_dense",
     "to_dense",
     "to_coo",
+    "to_coo_chunks",
     "get_values",
     "empty",
     "eye",

@@ -100,11 +100,18 @@ class HierarchicalBlockSparseMatrix:
 
     def get_all_values(self):
         """(rows, cols, values) of all stored elements (explicit zeros in
-        stored blocks excluded, matching sparse-export semantics)."""
+        stored blocks excluded, matching sparse-export semantics).
+        Streams device->host in bounded windows so peak host memory is
+        O(result + one chunk), not O(4 * cap * b^2)."""
         self._require()
-        r, c, v, mask = hbsm.to_coo(self._m)
-        m = np.asarray(mask) & (np.asarray(v) != 0)
-        return np.asarray(r)[m], np.asarray(c)[m], np.asarray(v)[m]
+        chunks = list(hbsm.to_coo_chunks(self._m, drop_zeros=True))
+        if not chunks:
+            dt = np.dtype(self._params.dtype)
+            return (
+                np.empty(0, np.int32), np.empty(0, np.int32), np.empty(0, dt)
+            )
+        rs, cs, vs = zip(*chunks)
+        return np.concatenate(rs), np.concatenate(cs), np.concatenate(vs)
 
     def to_dense(self) -> np.ndarray:
         self._require()

@@ -198,6 +198,57 @@ def to_coo(a: BlockMatrix):
     )
 
 
+@partial(jax.jit, static_argnames=("chunk",))
+def _coo_window(a: BlockMatrix, start, chunk: int):
+    """Fixed-size window of `to_coo` starting at block slot `start`.
+    One compiled program serves every chunk (dynamic_slice clamps the
+    start near the end; slots before `start` are masked out so the
+    clamped window never re-emits blocks)."""
+    b = a.block_size
+    ids = jax.lax.dynamic_slice(a.ids, (start,), (chunk,))
+    data = jax.lax.dynamic_slice(a.data, (start, 0, 0), (chunk, b, b))
+    slot = jnp.minimum(start, a.cap - chunk) + jnp.arange(chunk)
+    brow = ids // a.nb_cols
+    bcol = ids % a.nb_cols
+    r_in = jnp.arange(b, dtype=jnp.int32)
+    rows = (brow[:, None, None] * b + r_in[None, :, None]).astype(jnp.int32)
+    cols = (bcol[:, None, None] * b + r_in[None, None, :]).astype(jnp.int32)
+    mask = (
+        ((slot >= start) & (slot < a.nnz))[:, None, None]
+        & (ids != SENTINEL)[:, None, None]
+        & (rows < a.n_rows)
+        & (cols < a.n_cols)
+    )
+    rows = jnp.where(mask, rows, 0)
+    cols = jnp.where(mask, cols, 0)
+    return (
+        rows.reshape(-1),
+        cols.reshape(-1),
+        data.reshape(-1),
+        mask.reshape(-1),
+    )
+
+
+def to_coo_chunks(a: BlockMatrix, chunk_blocks: int = 2048, drop_zeros=False):
+    """Stream stored elements to host as (rows, cols, vals) numpy chunks.
+
+    The streaming counterpart of `to_coo` for huge matrices (reference
+    ``get_all_values``, SURVEY.md C3): peak host memory is one
+    `chunk_blocks * b^2` window instead of four `cap * b^2` arrays
+    (~92M triplets for a B5-order export).  Chunks arrive mask-filtered
+    (padding slots and out-of-bounds elements removed); `drop_zeros`
+    additionally removes explicit zeros inside stored blocks.
+    """
+    nnz = int(a.nnz)
+    chunk = min(chunk_blocks, a.cap)
+    for s in range(0, nnz, chunk):
+        r, c, v, m = _coo_window(a, jnp.asarray(s, jnp.int32), chunk)
+        m = np.asarray(m)
+        if drop_zeros:
+            m = m & (np.asarray(v) != 0)
+        yield np.asarray(r)[m], np.asarray(c)[m], np.asarray(v)[m]
+
+
 @jax.jit
 def get_values(a: BlockMatrix, rows, cols) -> jax.Array:
     """Random-access element reads (reference ``get_values``, SURVEY.md C3).

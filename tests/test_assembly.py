@@ -62,6 +62,34 @@ def test_to_coo_matches_dense():
     np.testing.assert_allclose(back, dense, rtol=1e-6)
 
 
+@pytest.mark.parametrize("chunk", [1, 3, 2048])
+def test_to_coo_chunks_matches_to_coo(chunk):
+    """Streamed export == monolithic export for any chunk size (incl.
+    chunk=1 forcing the clamped-window path near the end)."""
+    rows, cols, vals = gen.random_block_sparse_coo(100, 8, 0.3, seed=4)
+    dense = gen.dense_oracle(rows, cols, vals, 100)
+    m = hbsm.from_coo(rows, cols, vals, 100, block_size=8)
+    parts = list(hbsm.to_coo_chunks(m, chunk_blocks=chunk))
+    assert parts
+    r = np.concatenate([p[0] for p in parts])
+    c = np.concatenate([p[1] for p in parts])
+    v = np.concatenate([p[2] for p in parts])
+    back = gen.dense_oracle(r, c, v, 100)
+    np.testing.assert_allclose(back, dense, rtol=1e-6)
+    # no duplicate emission from window clamping
+    assert len(np.unique(r.astype(np.int64) * 128 + c)) == len(r)
+
+
+def test_to_coo_chunks_drop_zeros():
+    x = np.zeros((16, 16), np.float32)
+    x[0, 0] = 2.0  # block (0,0) stored, 63 explicit zeros inside it
+    m = hbsm.from_dense(x, block_size=8)
+    parts = list(hbsm.to_coo_chunks(m, drop_zeros=True))
+    r = np.concatenate([p[0] for p in parts])
+    v = np.concatenate([p[2] for p in parts])
+    assert len(r) == 1 and v[0] == 2.0
+
+
 def test_eye():
     m = hbsm.eye(100, block_size=16)
     np.testing.assert_allclose(np.asarray(hbsm.to_dense(m)), np.eye(100, dtype=np.float32))
