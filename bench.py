@@ -116,7 +116,10 @@ def banded_block_matrix(n, bw, b, seed=0):
     base = 16 if b % 16 == 0 and b > 16 else b
     m = hbsm.from_coo(r, c, v, n, block_size=base)
     if base != b:
-        m = hbsm.coarsen(m, b // base)
+        from hierarchical_block_sparse_lib_tpu.ops.repack import plan_coarsen
+
+        # Tight capacity: symbolic-phase cost scales with cap, not nnz.
+        m = hbsm.coarsen(m, b // base, cap=plan_coarsen(m, b // base))
     return m
 
 
@@ -327,7 +330,13 @@ def main():
             r, c, v = gen.banded_coo(n, bw, seed=0)
             A16 = hbsm.from_coo(r, c, v, n, block_size=16)
             fine_pairs, _ = plan_spgemm(A16, A16)
-            A, occ = hbsm.coarsen(A16, 8, track_leaves=True)
+            from hierarchical_block_sparse_lib_tpu.ops.repack import (
+                plan_coarsen,
+            )
+
+            A, occ = hbsm.coarsen(
+                A16, 8, cap=plan_coarsen(A16, 8), track_leaves=True
+            )
             results["B1"] = bench_spgemm(
                 A, "B1 banded(4096, bw64)", Ks=(5, 55),
                 precision=args.precision, leaf=(16, fine_pairs, occ),

@@ -67,7 +67,7 @@ from hierarchical_block_sparse_lib_tpu.ops.spgemm import (
     plan_syrk,
     MultiplyInfo,
 )
-from hierarchical_block_sparse_lib_tpu.ops.repack import repack, coarsen
+from hierarchical_block_sparse_lib_tpu.ops.repack import repack, coarsen, plan_coarsen
 from hierarchical_block_sparse_lib_tpu.ops.matmul import matmul, syrk
 from hierarchical_block_sparse_lib_tpu.ops.slab import spgemm_colslab
 from hierarchical_block_sparse_lib_tpu.ops.spmm import spmm, spmv
@@ -100,6 +100,7 @@ __all__ = [
     "spgemm",
     "spgemm_symbolic",
     "spamm",
+    "plan_coarsen",
     "plan_spamm",
     "MultiplyInfo",
     "repack",

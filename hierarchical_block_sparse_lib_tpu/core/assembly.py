@@ -259,7 +259,7 @@ def get_values(a: BlockMatrix, rows, cols) -> jax.Array:
     cols = jnp.asarray(cols, jnp.int32)
     b = a.block_size
     bid = (rows // b) * a.nb_cols + cols // b
-    pos = jnp.searchsorted(a.ids, bid)
+    pos = jnp.searchsorted(a.ids, bid, method="sort")
     pos_c = jnp.minimum(pos, a.cap - 1)
     hit = a.ids[pos_c] == bid
     vals = a.data[pos_c, rows % b, cols % b]

@@ -442,22 +442,27 @@ def rows_spgemm(
     sent = jnp.int32(jnp.iinfo(jnp.int32).max)
     a_rowv = jnp.where(a_ids == sent, jnp.int32(nbr), a_ids // jnp.int32(nbrB))
     # NOTE: A's column count == B's row count (nbrB); A row = id // nbcA.
+    # method="sort" everywhere: one fused sort beats log2(cap) slow TPU
+    # gather passes (see ops.spgemm.spgemm_symbolic).
     a_row_start = jnp.searchsorted(
-        a_rowv, jnp.arange(nbr + 1, dtype=jnp.int32), side="left"
+        a_rowv, jnp.arange(nbr + 1, dtype=jnp.int32), side="left",
+        method="sort",
     ).astype(jnp.int32)
     a_col = jnp.where(a_ids == sent, 0, a_ids % jnp.int32(nbrB)).astype(
         jnp.int32
     )
     b_rowv = jnp.where(b_ids == sent, jnp.int32(nbrB), b_ids // jnp.int32(nbc))
     b_row_start = jnp.searchsorted(
-        b_rowv, jnp.arange(nbrB + 1, dtype=jnp.int32), side="left"
+        b_rowv, jnp.arange(nbrB + 1, dtype=jnp.int32), side="left",
+        method="sort",
     ).astype(jnp.int32)
     b_col = jnp.where(b_ids == sent, 0, b_ids % jnp.int32(nbc)).astype(
         jnp.int32
     )
     c_rowv = jnp.where(out_ids == sent, jnp.int32(nbr), out_ids // jnp.int32(nbc))
     c_row_start = jnp.searchsorted(
-        c_rowv, jnp.arange(nbr + 1, dtype=jnp.int32), side="left"
+        c_rowv, jnp.arange(nbr + 1, dtype=jnp.int32), side="left",
+        method="sort",
     ).astype(jnp.int32)
     ccol = jnp.where(out_ids == sent, 0, out_ids % jnp.int32(nbc)).astype(
         jnp.int32

@@ -13,11 +13,29 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from hierarchical_block_sparse_lib_tpu.core.block_matrix import (
     SENTINEL,
     BlockMatrix,
 )
+
+
+def plan_coarsen(a: BlockMatrix, factor: int) -> int:
+    """Host-side exact coarse block count — the tight `cap` for `coarsen`.
+
+    Capacity discipline matters beyond memory: every symbolic-phase pass
+    (sorts, searchsorteds, scatters) scales with *capacity*, not nnz, so
+    carrying the fine-grid cap through `coarsen` multiplies small-problem
+    SpGEMM overhead (measured 5x on the B1 banded config: 2284-cap vs
+    94-block tight cap = 497 us vs 57 us symbolic)."""
+    ids = np.asarray(a.ids)
+    ids = ids[ids != int(SENTINEL)]
+    if ids.size == 0:
+        return 1
+    brow, bcol = ids // a.nb_cols, ids % a.nb_cols
+    nbc2 = -(-a.nb_cols // factor)
+    return int(np.unique((brow // factor) * nbc2 + (bcol // factor)).size)
 
 
 @partial(jax.jit, static_argnames=("cap",))

@@ -98,15 +98,21 @@ def spgemm_symbolic(
 
     # Row-k range of B for each A block's column k (B ids are row-major
     # sorted, so each block-row of B is a contiguous run).
-    lo = jnp.searchsorted(b_row, a_col, side="left")
-    hi = jnp.searchsorted(b_row, a_col, side="right")
+    # method="sort": TPU gathers are slow; the default binary-search
+    # lowering costs log2(cap) gather passes (~200-300 us at cap~1k),
+    # while the argsort-of-concatenation lowering is one fused sort
+    # (~18 us measured) — 11-17x faster for every cap here.
+    lo = jnp.searchsorted(b_row, a_col, side="left", method="sort")
+    hi = jnp.searchsorted(b_row, a_col, side="right", method="sort")
     cnt = jnp.where(a_valid, hi - lo, 0)
     offs = jnp.cumsum(cnt)
     total = offs[-1]
 
     # Expand: pair p belongs to A entry e = first index with offs[e] > p.
     p = jnp.arange(pair_cap, dtype=jnp.int32)
-    e = jnp.searchsorted(offs, p, side="right").astype(jnp.int32)
+    e = jnp.searchsorted(
+        offs, p, side="right", method="sort"
+    ).astype(jnp.int32)
     e_c = jnp.minimum(e, a.cap - 1)
     base = jnp.where(e_c > 0, offs[e_c - 1], 0)
     t = p - base
@@ -349,6 +355,14 @@ def spgemm(
         elif (
             on_tpu
             and row_caps is not None
+            # Below ~1k pairs the row-panel kernel's per-grid-row fixed
+            # costs (one grid step per A block-row regardless of row
+            # occupancy) exceed the stream kernel's per-pair costs:
+            # measured on B1 (278 pairs) rows=634 ns/pair vs
+            # stream=362 ns/pair, crossing over as pair counts reach
+            # the thousands (B2: rows wins 18-24%).  pair_cap is the
+            # static trace-time proxy for the pair count.
+            and pair_cap >= 1024
             and pallas_gemm_rows.supported(
                 a.block_size, a.dtype, row_caps[0], row_caps[1], b.nb_cols
             )
