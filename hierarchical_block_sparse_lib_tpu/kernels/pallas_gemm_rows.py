@@ -232,7 +232,12 @@ def _make_kernel(
                     else:
                         dma.wait()
 
-        has_work = jnp.logical_and(a_cnt > 0, c_cnt > 0)
+        # c_cnt > 0 with a_cnt == 0 happens only when out_ids carries
+        # slots beyond the product support (spgemm's fused-accumulate
+        # union): the row must still be flushed (as zeros) so every
+        # union slot is defined.  For plain product out_ids the two
+        # conditions coincide (a product row implies stored A blocks).
+        has_work = c_cnt > 0
 
         @pl.when(has_work)
         def _():

@@ -85,36 +85,39 @@ def sp2_step(
     union), keeping the step a single static-shape program.
     """
     cap = x.cap if cap is None else cap
-    if symmetric:
-        # X symmetric => X^T == X: feed X itself as the transposed
-        # operand (no transpose pass), enumerate upper pairs only, and
-        # mirror with the fused symmetrize pass.
-        x2u, info = spgemm(
-            x, x, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
-            row_caps=row_caps, syrk_upper=True,
-        )
-        x2, mirror_ovf = basic.symmetrize_upper(x2u, out_cap)
-        info = dataclasses.replace(
-            info, out_overflow=info.out_overflow | mirror_ovf
-        )
-    else:
-        x2, info = spgemm(
-            x, x, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
-            row_caps=row_caps,
-        )
     t = trace(x)
     take_square = t > jnp.asarray(target_trace, t.dtype)
-    # X_next = s*x2 + (1-s)*(2x - x2) = (2s-1)*x2 + (2-2s)*x  with s in {0,1}
+    # X_next = s*x2 + (1-s)*(2x - x2) = (2s-1)*x2 + (2-2s)*x  with s in
+    # {0,1} — computed by spgemm's FUSED beta-accumulate (C = alpha*X@X
+    # + beta*X): one structural pass instead of multiply-then-add (the
+    # separate union-add was the single most expensive op of the step).
     s = take_square.astype(x.dtype)
-    y = basic.add(x2, x, alpha=2.0 * s - 1.0, beta=2.0 - 2.0 * s)
-    y = truncate(y, tau)
+    alpha, beta = 2.0 * s - 1.0, 2.0 - 2.0 * s
     if symmetric:
-        # Exact structural symmetry invariant: f32 norm rounding could
-        # truncate (i,j) and (j,i) differently; rebuild the lower
-        # triangle from the upper so the next upper-only step is exact.
-        y, sym_ovf = basic.symmetrize_upper(y, cap)
+        # X symmetric => X^T == X: feed X itself as the transposed
+        # operand (no transpose pass), enumerate upper pairs only,
+        # accumulate beta*upper(X), and mirror once after truncation.
+        # Truncating the upper triangle and mirroring IS symmetric
+        # truncation: ||Y_ij|| == ||Y_ji|| for a symmetric iterate.
+        yu, info = spgemm(
+            x, x, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
+            row_caps=row_caps, syrk_upper=True,
+            accum=basic.triu(x), alpha=alpha, beta=beta,
+        )
+        yu = truncate(yu, tau)
+        # Exact structural symmetry invariant: the lower triangle is
+        # rebuilt from the upper, so the next upper-only step is exact.
+        y, sym_ovf = basic.symmetrize_upper(yu, cap)
+        info = dataclasses.replace(
+            info, out_overflow=info.out_overflow | sym_ovf
+        )
         nnz_kept = jnp.where(sym_ovf, jnp.int32(cap + 1), y.nnz)
     else:
+        y, info = spgemm(
+            x, x, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
+            row_caps=row_caps, accum=x, alpha=alpha, beta=beta,
+        )
+        y = truncate(y, tau)
         nnz_kept = y.nnz
         y = repack_mod.repack(y, cap)
     stats = PurificationStats(

@@ -77,11 +77,16 @@ def filter_blocks(a: BlockMatrix, keep: jax.Array) -> BlockMatrix:
     unchanged, survivors stay sorted at the front (structural analogue of
     truncation — same compaction, caller-supplied predicate)."""
     keep = keep & a.valid_mask()
-    ids = jnp.where(keep, a.ids, SENTINEL)
-    order = jnp.argsort(ids)
-    data = jnp.where(keep[:, None, None], a.data, 0)[order]
+    # Sort-free stable compaction (ids invariantly sorted; see truncate).
+    slot = jnp.where(keep, jnp.cumsum(keep) - 1, a.cap).astype(jnp.int32)
+    ids = (
+        jnp.full((a.cap,), SENTINEL, jnp.int32)
+        .at[slot]
+        .set(a.ids, mode="drop")
+    )
+    data = jnp.zeros_like(a.data).at[slot].set(a.data, mode="drop")
     return BlockMatrix(
-        ids=ids[order], data=data, nnz=jnp.sum(keep).astype(jnp.int32),
+        ids=ids, data=data, nnz=jnp.sum(keep).astype(jnp.int32),
         n_rows=a.n_rows, n_cols=a.n_cols, block_size=a.block_size,
     )
 

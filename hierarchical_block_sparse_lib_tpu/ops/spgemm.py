@@ -241,8 +241,18 @@ def spgemm(
     syrk_upper: bool = False,
     a_leaf_occ: jax.Array | None = None,
     b_leaf_occ: jax.Array | None = None,
+    accum: BlockMatrix | None = None,
+    beta: float | jax.Array = 1.0,
 ):
-    """C = alpha * op(A) @ op(B); returns (C, MultiplyInfo).
+    """C = alpha * op(A) @ op(B) [+ beta * accum]; returns (C, MultiplyInfo).
+
+    `accum` fuses the BLAS-gemm-style beta-accumulate (the reference's
+    ``multiply`` writes INTO C, SURVEY.md C5): C's structure becomes the
+    union of the product support and accum's support, and beta*accum is
+    added in the same pass — one structural op instead of the
+    spgemm-then-add chain (which costs a full extra sort + two extra
+    passes over the block tensor; fusing it cut the SP2 purification
+    step ~30%).  `alpha`/`beta` may be traced scalars.
 
     `pair_cap` bounds the number of enumerated block pairs and `out_cap`
     the distinct output blocks (static shapes — the XLA sparsity idiom).
@@ -335,15 +345,61 @@ def spgemm(
     else:
         n_leaf = jnp.full((), -1, jnp.int32)
 
-    first = jnp.concatenate([jnp.ones((1,), bool), c_id[1:] != c_id[:-1]])
     valid_p = c_id != SENTINEL
-    seg = jnp.cumsum(first) - 1
-    seg = jnp.where(valid_p, seg, out_cap)  # trash segment -> dropped
-    n_unique = jnp.sum(first & valid_p).astype(jnp.int32)
-
-    out_ids_pre = (
-        jnp.full((out_cap,), SENTINEL, jnp.int32).at[seg].set(c_id, mode="drop")
-    )
+    if accum is None:
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), c_id[1:] != c_id[:-1]]
+        )
+        seg = jnp.cumsum(first) - 1
+        seg = jnp.where(valid_p, seg, out_cap)  # trash segment -> dropped
+        n_unique = jnp.sum(first & valid_p).astype(jnp.int32)
+        out_ids_pre = (
+            jnp.full((out_cap,), SENTINEL, jnp.int32)
+            .at[seg]
+            .set(c_id, mode="drop")
+        )
+        pos_acc = None
+    else:
+        if (accum.n_rows, accum.n_cols) != (a.n_rows, b.n_cols):
+            raise ValueError("accum shape mismatch")
+        if accum.block_size != a.block_size:
+            raise ValueError("accum block_size mismatch")
+        # Output structure = union(product support, accum support):
+        # sort the pair c_ids together with accum's ids (int32 only; the
+        # block data never moves through this).
+        acc_ids = jnp.where(
+            accum.valid_mask(), accum.ids, SENTINEL
+        ).astype(jnp.int32)
+        uni = jnp.sort(jnp.concatenate([c_id, acc_ids]))
+        firstu = jnp.concatenate(
+            [jnp.ones((1,), bool), uni[1:] != uni[:-1]]
+        )
+        validu = uni != SENTINEL
+        slotu = jnp.where(
+            validu, jnp.cumsum(firstu & validu) - 1, out_cap
+        )
+        out_ids_pre = (
+            jnp.full((out_cap,), SENTINEL, jnp.int32)
+            .at[slotu]
+            .set(uni, mode="drop")
+        )
+        n_unique = jnp.sum(firstu & validu).astype(jnp.int32)
+        # Pair/accum rows -> union slots (SENTINEL tail sorts last, so
+        # positions of valid ids are < n_unique).
+        seg = jnp.where(
+            valid_p,
+            jnp.searchsorted(
+                out_ids_pre, c_id, side="left", method="sort"
+            ).astype(jnp.int32),
+            out_cap,
+        )
+        pos_acc = jnp.where(
+            acc_ids != SENTINEL,
+            jnp.searchsorted(
+                out_ids_pre, acc_ids, side="left", method="sort"
+            ).astype(jnp.int32),
+            out_cap,
+        )
     on_tpu = jax.default_backend() == "tpu"
     if backend == "auto":
         from hierarchical_block_sparse_lib_tpu.kernels import pallas_gemm_rows
@@ -450,11 +506,33 @@ def spgemm(
         # makes whole-array reductions correct.  XLA fuses this mask
         # into the alpha-scale pass.
         slot_valid = out_ids != SENTINEL
+        if accum is not None and backend != "rows":
+            # Union slots with no product contribution are never visited
+            # by the stream kernel (undefined windows); keep only slots
+            # some pair actually wrote (beta*accum lands afterwards).
+            slot_valid = slot_valid & (
+                jnp.zeros((out_cap + 1,), bool)
+                .at[seg]
+                .set(True, mode="drop")[:out_cap]
+            )
         out_data = jnp.where(
             slot_valid[:, None, None],
             out_data * jnp.asarray(alpha, acc_dtype),
             0,
         ).astype(a.dtype)
+    if accum is not None:
+        # Fused beta-accumulate: scatter accum's blocks into their union
+        # slots (pos_acc routes padding to the dropped trash slot).
+        out_data = (
+            out_data.astype(acc_dtype)
+            .at[pos_acc]
+            .add(
+                accum.data.astype(acc_dtype)
+                * jnp.asarray(beta, acc_dtype),
+                mode="drop",
+            )
+            .astype(a.dtype)
+        )
     c = BlockMatrix(
         ids=out_ids,
         data=out_data,

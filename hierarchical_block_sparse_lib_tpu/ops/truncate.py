@@ -67,12 +67,22 @@ def truncate(
         )
         keep = agg[keys] > tau2
     keep = keep & a.valid_mask()
-    new_ids = jnp.where(keep, a.ids, SENTINEL).astype(jnp.int32)
-    order = jnp.argsort(new_ids)
-    data = jnp.where(keep[:, None, None], a.data, 0)[order]
+    # Sort-free stable compaction: ids are invariantly sorted, so the
+    # surviving blocks' output slots are just cumsum(keep)-1 — one int
+    # prefix-sum plus one scatter of the data (the argsort+gather it
+    # replaces cost an extra full read+write of the block tensor).
+    slot = jnp.where(keep, jnp.cumsum(keep) - 1, a.cap).astype(jnp.int32)
+    out_ids = (
+        jnp.full((a.cap,), SENTINEL, jnp.int32)
+        .at[slot]
+        .set(a.ids, mode="drop")
+    )
+    out_data = (
+        jnp.zeros_like(a.data).at[slot].set(a.data, mode="drop")
+    )
     return dataclasses.replace(
         a,
-        ids=new_ids[order],
-        data=data,
+        ids=out_ids,
+        data=out_data,
         nnz=jnp.sum(keep).astype(jnp.int32),
     )

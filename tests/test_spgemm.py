@@ -206,3 +206,55 @@ def test_nonsquare_spgemm():
     np.testing.assert_allclose(
         np.asarray(hbsm.to_dense(C)), x @ y, rtol=2e-4, atol=1e-3
     )
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_fused_accumulate(backend):
+    """C = alpha*A@B + beta*D (fused BLAS-style accumulate, reference
+    multiply-into-C semantics SURVEY.md C5) vs dense oracle, including
+    D blocks outside the product support."""
+    n, b = 256, 16
+    r1, c1, v1 = gen.random_block_sparse_coo(n, b, 0.15, seed=11)
+    r2, c2, v2 = gen.random_block_sparse_coo(n, b, 0.15, seed=12)
+    r3, c3, v3 = gen.random_block_sparse_coo(n, b, 0.25, seed=13)
+    dA = gen.dense_oracle(r1, c1, v1, n)
+    dB = gen.dense_oracle(r2, c2, v2, n)
+    dD = gen.dense_oracle(r3, c3, v3, n)
+    A = hbsm.from_coo(r1, c1, v1, n, block_size=b)
+    B = hbsm.from_coo(r2, c2, v2, n, block_size=b)
+    D = hbsm.from_coo(r3, c3, v3, n, block_size=b)
+    n_pairs, n_out = plan_spgemm(A, B)
+    out_cap = n_out + int(D.nnz)  # union upper bound
+    C, info = hbsm.spgemm(
+        A, B, pair_cap=max(n_pairs, 1), out_cap=out_cap,
+        alpha=0.5, beta=-2.0, accum=D, backend=backend,
+    )
+    assert not bool(info.pair_overflow)
+    assert not bool(info.out_overflow)
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(C)), 0.5 * (dA @ dB) - 2.0 * dD,
+        rtol=2e-4, atol=1e-3,
+    )
+    # union structure: every D block id must appear in C
+    cids = set(np.asarray(C.ids)[: int(C.nnz)].tolist())
+    dids = set(np.asarray(D.ids)[: int(D.nnz)].tolist())
+    assert dids <= cids
+
+
+def test_fused_accumulate_traced_scalars():
+    """alpha/beta as traced arrays (the SP2 branchless blend)."""
+    import jax.numpy as jnp
+
+    n, b = 128, 16
+    r1, c1, v1 = gen.banded_coo(n, 5, seed=3)
+    dA = gen.dense_oracle(r1, c1, v1, n)
+    A = hbsm.from_coo(r1, c1, v1, n, block_size=b)
+    n_pairs, n_out = plan_spgemm(A, A)
+    C, info = hbsm.spgemm(
+        A, A, pair_cap=n_pairs, out_cap=n_out + int(A.nnz),
+        alpha=jnp.float32(-1.0), beta=jnp.float32(2.0), accum=A,
+    )
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(C)), -(dA @ dA) + 2.0 * dA,
+        rtol=2e-4, atol=1e-3,
+    )
