@@ -65,6 +65,8 @@ from hierarchical_block_sparse_lib_tpu.ops.spgemm import (
     spamm,
     plan_spamm,
     plan_syrk,
+    make_plan,
+    SymbolicPlan,
     MultiplyInfo,
 )
 from hierarchical_block_sparse_lib_tpu.ops.repack import repack, coarsen, plan_coarsen
@@ -101,6 +103,8 @@ __all__ = [
     "spgemm_symbolic",
     "spamm",
     "plan_coarsen",
+    "make_plan",
+    "SymbolicPlan",
     "plan_spamm",
     "MultiplyInfo",
     "repack",

@@ -152,6 +152,43 @@ def spgemm_symbolic(
     )
 
 
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SymbolicPlan:
+    """Device-resident symbolic plan (the output of `spgemm_symbolic`),
+    reusable across `spgemm` calls while BOTH operands keep exactly the
+    same id structure (fixed-sparsity iteration: stencil applications,
+    repeated C = A@B with frozen supports).  Skips the symbolic phase —
+    sorts, row-range matching, pair expansion — entirely; only the
+    numeric phase runs.  Build with `make_plan`."""
+
+    a_idx: jax.Array  # int32[pair_cap]
+    b_idx: jax.Array  # int32[pair_cap]
+    c_id: jax.Array  # int32[pair_cap], sorted, SENTINEL padded
+    total: jax.Array  # int32[] surviving pairs
+    raw_total: jax.Array  # int32[] unfiltered enumeration size
+
+
+def make_plan(
+    a: BlockMatrix,
+    b: BlockMatrix,
+    pair_cap: int,
+    tau: float | jax.Array = 0.0,
+    filter_by_norm: bool = False,
+    syrk_upper: bool = False,
+) -> SymbolicPlan:
+    """Run the symbolic phase once and package it for reuse via
+    ``spgemm(..., plan=...)``.  Valid while both operands' id arrays are
+    unchanged (data may change freely); with `filter_by_norm` the norm
+    filter is frozen at planning time."""
+    return SymbolicPlan(
+        *spgemm_symbolic(
+            a, b, pair_cap, tau=tau, filter_by_norm=filter_by_norm,
+            syrk_upper=syrk_upper,
+        )
+    )
+
+
 _PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGH,
@@ -243,8 +280,14 @@ def spgemm(
     b_leaf_occ: jax.Array | None = None,
     accum: BlockMatrix | None = None,
     beta: float | jax.Array = 1.0,
+    plan: SymbolicPlan | None = None,
 ):
     """C = alpha * op(A) @ op(B) [+ beta * accum]; returns (C, MultiplyInfo).
+
+    `plan` (from `make_plan`) skips the symbolic phase for
+    fixed-structure iteration; it must have been built for these
+    operands' exact id structure and this `pair_cap`/`tau` configuration
+    (data may differ).
 
     `accum` fuses the BLAS-gemm-style beta-accumulate (the reference's
     ``multiply`` writes INTO C, SURVEY.md C5): C's structure becomes the
@@ -288,10 +331,19 @@ def spgemm(
             f"inner dims/block mismatch: {a.n_cols}x{a.block_size} vs "
             f"{b.n_rows}x{b.block_size}"
         )
-    a_idx, b_idx, c_id, total, raw_total = spgemm_symbolic(
-        a, b, pair_cap, tau=tau, filter_by_norm=filter_by_norm,
-        syrk_upper=syrk_upper,
-    )
+    if plan is None:
+        a_idx, b_idx, c_id, total, raw_total = spgemm_symbolic(
+            a, b, pair_cap, tau=tau, filter_by_norm=filter_by_norm,
+            syrk_upper=syrk_upper,
+        )
+    else:
+        if plan.a_idx.shape[0] != pair_cap:
+            raise ValueError(
+                f"plan built for pair_cap={plan.a_idx.shape[0]}, "
+                f"got {pair_cap}"
+            )
+        a_idx, b_idx, c_id = plan.a_idx, plan.b_idx, plan.c_id
+        total, raw_total = plan.total, plan.raw_total
     gemm_cap = pair_cap if gemm_cap is None else min(gemm_cap, pair_cap)
     if gemm_cap < pair_cap:
         # Survivors sort before SENTINEL padding: slicing keeps them all

@@ -258,3 +258,28 @@ def test_fused_accumulate_traced_scalars():
         np.asarray(hbsm.to_dense(C)), -(dA @ dA) + 2.0 * dA,
         rtol=2e-4, atol=1e-3,
     )
+
+
+def test_symbolic_plan_reuse():
+    """make_plan + spgemm(plan=...): numeric phase only, exact same
+    result as the planless call across changed data (fixed structure)."""
+    n, b = 256, 16
+    r1, c1, v1 = gen.random_block_sparse_coo(n, b, 0.2, seed=21)
+    r2, c2, v2 = gen.random_block_sparse_coo(n, b, 0.2, seed=22)
+    A = hbsm.from_coo(r1, c1, v1, n, block_size=b)
+    B = hbsm.from_coo(r2, c2, v2, n, block_size=b)
+    n_pairs, n_out = plan_spgemm(A, B)
+    plan = hbsm.make_plan(A, B, pair_cap=n_pairs)
+    for scale_ in (1.0, -3.0):
+        A2 = hbsm.scale(A, scale_)  # same ids, different data
+        C_ref, i_ref = hbsm.spgemm(A2, B, pair_cap=n_pairs, out_cap=n_out)
+        C_pl, i_pl = hbsm.spgemm(
+            A2, B, pair_cap=n_pairs, out_cap=n_out, plan=plan
+        )
+        assert np.array_equal(np.asarray(C_ref.ids), np.asarray(C_pl.ids))
+        np.testing.assert_array_equal(
+            np.asarray(C_ref.data), np.asarray(C_pl.data)
+        )
+        assert int(i_pl.n_block_pairs) == int(i_ref.n_block_pairs)
+    with pytest.raises(ValueError):
+        hbsm.spgemm(A, B, pair_cap=n_pairs + 1, out_cap=n_out, plan=plan)
