@@ -238,8 +238,8 @@ def bench_truncation_pipeline(Ks=(2, 8)):
     5 SP2 steps per iteration, fully on-device (purify_scan)."""
     import dataclasses
     import hierarchical_block_sparse_lib_tpu as hbsm
-    from hierarchical_block_sparse_lib_tpu.ops.spgemm import plan_spgemm_ex
     from hierarchical_block_sparse_lib_tpu.models.purification import (
+        profile_purify,
         purify_scan,
     )
 
@@ -257,25 +257,38 @@ def bench_truncation_pipeline(Ks=(2, 8)):
     A = hbsm.add(A, hbsm.transpose(A), alpha=0.5, beta=0.5)
     A = hbsm.scale(A, 1.0 / float(np.sqrt(float(hbsm.frob_squared(A)))))
     A = hbsm.add(A, hbsm.eye(n, b), beta=0.5, cap=A.cap + n // b)
-    pc, oc, mbr, mcr = plan_spgemm_ex(A, A)
-    pair_cap, out_cap = 4 * pc, 4 * oc
+    # Per-run exact capacity profile (profile_purify dry-runs the 5 steps
+    # once, untimed): structural cost scales with CAPACITY, so tight
+    # maxima beat the old 4x-initial-plan guesses across every sort/
+    # compaction pass of the scan.
+    prof = profile_purify(A, 5, tau=1e-6, target_trace=n / 2)
+    log(
+        f"B3 capacity profile: pairs/step={prof.per_step_pairs} "
+        f"union={prof.per_step_out} kept={prof.per_step_kept} -> "
+        f"caps pair={prof.pair_cap} out={prof.out_cap} cap={prof.cap} "
+        f"rows={prof.row_caps}"
+    )
 
     def build(d):
         x = dataclasses.replace(A, data=d)
         xf, stats = purify_scan(
-            x, 5, tau=1e-6, pair_cap=pair_cap, out_cap=out_cap,
-            target_trace=n / 2, row_caps=(nb, nb),
+            x, 5, tau=1e-6, target_trace=n / 2, **prof.kwargs()
         )
         return xf.data
 
     dt = bench_chained(build, A.data, Ks)
     # Untimed stats pass: leaf GEMMs actually performed.
     _, stats = purify_scan(
-        A, 5, tau=1e-6, pair_cap=pair_cap, out_cap=out_cap,
-        target_trace=n / 2, row_caps=(nb, nb),
+        A, 5, tau=1e-6, target_trace=n / 2, **prof.kwargs()
     )
     pairs = int(np.asarray(stats.n_block_pairs).sum())
+    # Every overflow kind must be clean: the pre-profile caps (4x the
+    # step-0 plan) silently pair-overflowed mid-purification (step 2
+    # needs 6x step-0's pairs) — exact profiling is a correctness fix,
+    # not just a speedup.
+    assert not bool(np.asarray(stats.pair_overflow).any())
     assert not bool(np.asarray(stats.out_overflow).any())
+    assert not bool(np.asarray(stats.repack_overflow).any())
     log(
         f"B3 truncation pipeline (5 sp2 steps @ {n}, b={b}): "
         f"{dt*1e3:.1f} ms/iter, {pairs} pair GEMMs ({pairs/dt:,.0f}/s)"

@@ -2,7 +2,9 @@
 (SP2), matrix polynomials, inverse factorization."""
 
 from hierarchical_block_sparse_lib_tpu.models.purification import (
+    CapacityProfile,
     PurificationStats,
+    profile_purify,
     purify,
     purify_scan,
     sp2_step,
@@ -17,7 +19,9 @@ from hierarchical_block_sparse_lib_tpu.models.chebyshev import (
 )
 
 __all__ = [
+    "CapacityProfile",
     "PurificationStats",
+    "profile_purify",
     "purify",
     "purify_scan",
     "sp2_step",

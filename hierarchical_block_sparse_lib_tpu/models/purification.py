@@ -40,6 +40,10 @@ class PurificationStats:
     # True if the truncated iterate still exceeded the step's capacity and
     # trailing blocks were dropped (raise `cap` or loosen tau).
     repack_overflow: jax.Array
+    # Distinct blocks in the pre-truncation step result (the union of the
+    # X@X product support with X's own support): the step's exact
+    # `out_cap` requirement — what `profile_purify` harvests.
+    nnz_union: jax.Array
 
 
 @partial(
@@ -129,6 +133,7 @@ def sp2_step(
         # kernel also mean dropped/garbage output blocks.
         out_overflow=info.out_overflow | info.row_overflow,
         repack_overflow=nnz_kept > cap,
+        nnz_union=info.n_out_blocks,
     )
     return y, stats
 
@@ -230,3 +235,116 @@ def purify(
             stats[0], repack_overflow=stats[0].repack_overflow | init_ovf
         )
     return x, stats
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, int(n) - 1).bit_length()
+
+
+@dataclass(frozen=True)
+class CapacityProfile:
+    """Exact capacity requirements of an SP2 purification run, measured by
+    `profile_purify`.  Feed to `purify_scan(x, n, tau, **prof.kwargs())`.
+
+    Structural-op cost on TPU scales with CAPACITY, not nnz (sorts,
+    searchsorteds, compaction passes are all cap-sized), so replacing
+    k*initial-plan guess caps with these tight maxima cuts the
+    purification bookkeeping proportionally.  The per-step tuples are the
+    evidence trail (and show the densify-then-resparsify hump that makes
+    a single-step plan insufficient).
+    """
+
+    pair_cap: int
+    out_cap: int
+    cap: int
+    row_caps: tuple  # (max B blocks per row, max C blocks per row)
+    per_step_pairs: tuple
+    per_step_out: tuple
+    per_step_kept: tuple
+
+    def kwargs(self) -> dict:
+        """Keyword arguments for `purify_scan` / `sp2_step` / `purify`."""
+        return dict(
+            pair_cap=self.pair_cap,
+            out_cap=self.out_cap,
+            cap=self.cap,
+            row_caps=self.row_caps,
+        )
+
+
+def profile_purify(
+    x: BlockMatrix,
+    n_steps: int,
+    tau: float,
+    target_trace: float = 0.0,
+    backend: str = "auto",
+    symmetric: bool = False,
+    margin: float = 1.0,
+) -> CapacityProfile:
+    """Dry-run `n_steps` SP2 iterations eagerly, host-planning the EXACT
+    per-step capacity requirements, and return the tight maxima.
+
+    The profiled trajectory is bit-identical to the final run:
+    capacities only affect whether blocks get dropped, and the profiler's
+    caps are exact host plans (pair/row) plus guaranteed upper bounds
+    (out = product outputs + nnz, which bounds the beta-accumulate
+    union), so no overflow can occur.  Run caps are pow2-bucketed so the
+    eager profiling steps share compilations (the same bucket tuple
+    compiles once; distinct steps usually land in the same bucket).
+
+    `margin > 1` loosens the returned caps for reuse on nearby
+    structures — the SCF regime, where each cycle's Hamiltonian support
+    drifts slightly but the capacity envelope is stable.
+
+    Reference parity: the reference (C++/dynamic allocation) sizes
+    storage implicitly per step; static-shape XLA needs it explicit, and
+    this profiler is the TPU-native answer (SURVEY.md section 8.5
+    "capacity buckets + masks everywhere; recompile discipline").
+    """
+    import numpy as np
+
+    from hierarchical_block_sparse_lib_tpu.ops.spgemm import plan_spgemm_ex
+
+    xi = x
+    mbr_m = mcr_m = 1
+    pairs_l, out_l, kept_l = [], [], []
+    for k in range(n_steps):
+        pc, oc, mbr, mcr = plan_spgemm_ex(xi, xi)
+        pc, oc = max(pc, 1), max(oc, 1)
+        mbr, mcr = max(mbr, 1), max(mcr, 1)
+        run_pc = _next_pow2(pc)
+        run_oc = _next_pow2(oc + int(xi.nnz))
+        run_rc = (_next_pow2(mbr), _next_pow2(mcr))
+        xi, s = sp2_step(
+            xi,
+            tau,
+            pair_cap=run_pc,
+            out_cap=run_oc,
+            target_trace=target_trace,
+            backend=backend,
+            cap=run_oc,
+            row_caps=run_rc,
+            symmetric=symmetric,
+        )
+        if bool(s.pair_overflow | s.out_overflow | s.repack_overflow):
+            raise RuntimeError(
+                f"profile_purify: overflow at step {k} despite exact "
+                f"host plan (pair_cap={run_pc}, out_cap={run_oc}) — "
+                "planner/op disagreement, please report"
+            )
+        pairs_l.append(pc)
+        out_l.append(int(s.nnz_union))
+        kept_l.append(int(s.nnz_blocks))
+        mbr_m, mcr_m = max(mbr_m, mbr), max(mcr_m, mcr)
+    grow = lambda v: int(np.ceil(v * margin))  # noqa: E731
+    return CapacityProfile(
+        pair_cap=grow(max(pairs_l)),
+        out_cap=grow(max(out_l)),
+        # The iterate capacity must also hold the INPUT (purify_scan's
+        # initial repack), not just every truncated iterate.
+        cap=grow(max([int(x.nnz)] + kept_l)),
+        row_caps=(grow(mbr_m), grow(mcr_m)),
+        per_step_pairs=tuple(pairs_l),
+        per_step_out=tuple(out_l),
+        per_step_kept=tuple(kept_l),
+    )

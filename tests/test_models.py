@@ -180,3 +180,48 @@ def test_chebyshev_fermi_expansion():
     w, v = np.linalg.eigh(H_d / bound)
     want = (v * f(w)) @ v.T
     assert np.abs(got - want).max() < 1e-4
+
+
+def test_profile_purify_tight_caps_identical_trajectory():
+    """profile_purify returns tight caps; purify_scan at those caps
+    reproduces the loose-cap run exactly (caps only affect overflow)."""
+    from hierarchical_block_sparse_lib_tpu.models.purification import (
+        profile_purify, purify_scan,
+    )
+
+    n, b = 128, 16
+    nocc = 40
+    _, x0 = _hamiltonian(n, b)
+    X = hbsm.from_dense(x0, block_size=b)
+    nb = n // b
+    n_steps, tau = 8, 1e-8
+    prof = profile_purify(X, n_steps, tau=tau, target_trace=nocc)
+    # Tight caps never exceed the dense-bound guesses.
+    assert prof.pair_cap <= nb**3
+    assert prof.out_cap <= nb * nb
+    assert prof.cap <= nb * nb
+    assert len(prof.per_step_pairs) == n_steps
+    assert max(prof.per_step_kept) <= prof.cap
+    Xt, st = purify_scan(
+        X, n_steps, tau=tau, target_trace=nocc, **prof.kwargs()
+    )
+    Xl, sl = purify_scan(
+        X, n_steps, tau=tau, target_trace=nocc,
+        pair_cap=nb**3, out_cap=nb * nb,
+    )
+    assert not bool(np.asarray(st.pair_overflow).any())
+    assert not bool(np.asarray(st.out_overflow).any())
+    assert not bool(np.asarray(st.repack_overflow).any())
+    np.testing.assert_array_equal(
+        np.asarray(st.n_block_pairs), np.asarray(sl.n_block_pairs)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st.nnz_union), np.asarray(sl.nnz_union)
+    )
+    # Same dense result (structure may differ only in padding capacity).
+    np.testing.assert_array_equal(
+        np.asarray(hbsm.to_dense(Xt)), np.asarray(hbsm.to_dense(Xl))
+    )
+    # Margin loosens every cap.
+    prof2 = profile_purify(X, 3, tau=tau, target_trace=nocc, margin=1.5)
+    assert prof2.pair_cap >= int(np.ceil(max(prof2.per_step_pairs) * 1.5) - 1)
