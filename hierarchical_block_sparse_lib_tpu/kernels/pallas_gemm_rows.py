@@ -49,10 +49,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 _PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
-    # Mosaic's dot lowering supports only DEFAULT/HIGHEST; 'high' maps to
-    # HIGHEST here (the XLA backend honors true HIGH).
-    "high": jax.lax.Precision.HIGHEST,
     "highest": jax.lax.Precision.HIGHEST,
+    # 'high' is implemented manually (bf16x3 hi/lo split) in _make_kernel:
+    # Mosaic's dot lowering supports only DEFAULT/HIGHEST, but XLA's
+    # Precision.HIGH on TPU IS the 3-pass bf16 algorithm, so the manual
+    # split reproduces it exactly — ~half the MXU passes of HIGHEST at
+    # ~2^-16-grade operand representation (vs 2^-8 default, 2^-24 highest).
 }
 
 # VMEM budget for panels (bytes); v5e has ~16 MB less pipeline overheads.
@@ -116,6 +118,29 @@ def _make_kernel(
         for k in range(max(min(c_row_max, out_cap).bit_length(), 1))
     ]
     flush_sizes.reverse()
+
+    def mxu_dot(a_v, b_v, dn):
+        """One MXU contraction at the requested precision.  'high' is the
+        3-pass bf16 split (XLA Precision.HIGH, which Mosaic's dot cannot
+        express): a = hi + lo with hi = bf16(a), and
+        a@b ~= hi_a@hi_b + hi_a@lo_b + lo_a@hi_b (the lo@lo term is below
+        the f32 accumulation floor).  Each pass is a native 1-pass bf16
+        MXU dot; the VPU split work is O(b^2) against O(b^3) MXU work."""
+        if precision == "high":
+            d = lambda x, y: jax.lax.dot_general(  # noqa: E731
+                x, y, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            )
+            a_hi = a_v.astype(jnp.bfloat16)
+            b_hi = b_v.astype(jnp.bfloat16)
+            a_lo = (a_v - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            b_lo = (b_v - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))
+        return jax.lax.dot_general(
+            a_v, b_v, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+            precision=_PRECISION[precision],
+        )
 
     def kernel(
         a_row_start_ref,  # SMEM int32[nbr+1]
@@ -287,12 +312,8 @@ def _make_kernel(
                         flat = b_panel[par, pl.ds(off, csize)].reshape(
                             csize * b, b
                         )
-                        prod = jax.lax.dot_general(
-                            a_buf[par],
-                            flat,
-                            dimension_numbers=(((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=_PRECISION[precision],
+                        prod = mxu_dot(
+                            a_buf[par], flat, (((1,), (1,)), ((), ()))
                         )  # [b, csize*b]
                         # Static unroll: csize is compile-time, so each
                         # product block is a static lane-slice (Mosaic
@@ -322,12 +343,10 @@ def _make_kernel(
 
                 def dotloop(t2, _):
                     def compute():
-                        prod = jax.lax.dot_general(
+                        prod = mxu_dot(
                             a_buf[par],
                             b_panel[par, t2],
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=_PRECISION[precision],
+                            (((1,), (0,)), ((), ())),
                         )
                         pos = jnp.clip(
                             postable[b_col_ref[blo + t2]], 0, c_row_max - 1
@@ -438,6 +457,10 @@ def rows_spgemm(
     b = a_data.shape[-1]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if precision == "high" and jnp.dtype(a_data.dtype) != jnp.float32:
+        # The hi/lo split only refines f32 operands; for bf16 storage a
+        # single DEFAULT pass is already operand-exact.
+        precision = "default"
     raw_b_row_max = max(b_row_max, 1)
     b_row_max = _bucket(max(b_row_max, 1))
     c_row_max = _bucket(max(c_row_max, 1))

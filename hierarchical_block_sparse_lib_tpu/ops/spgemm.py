@@ -313,8 +313,12 @@ def spgemm(
 
     precision: MXU input precision for f32 data — 'highest' (default;
     matches the C++ reference's f32 numerics via multi-pass MXU),
-    'high', or 'default' (single-pass bf16 inputs: ~2e-3 rel error,
-    fastest).  Ignored for non-f32 dtypes.
+    'high' (3-pass bf16: XLA's Precision.HIGH; the rows kernel
+    implements it as a manual hi/lo bf16 split since Mosaic's dot only
+    exposes DEFAULT/HIGHEST — ~1e-5 rel at ~half the MXU passes of
+    highest; the other Pallas backends round it up to HIGHEST), or
+    'default' (single-pass bf16 inputs: ~2e-3 rel error, fastest).
+    Ignored for non-f32 dtypes.
 
     Error-controlled (SpAMM-style) multiply: with `filter_by_norm=True`,
     block pairs with ||A_ik||_F * ||B_kj||_F <= tau are skipped.  Pass

@@ -5,8 +5,12 @@
 - `dist2d`: square 2D mesh, Cannon's algorithm (both operands resident,
   nearest-neighbor rotations on the ICI torus) — the 2D block partition
   of SURVEY.md section 8.3.
+- `route`: sparsity-aware block router (BASELINE.json:5) — host-planned
+  exact per-stage panel exchange shipping only the blocks each
+  destination's products touch, with routed SpGEMM and routed SP2
+  purification (`dist_sp2_step_routed` / `dist_purify_routed`).
 """
 
-from hierarchical_block_sparse_lib_tpu.parallel import dist, dist2d
+from hierarchical_block_sparse_lib_tpu.parallel import dist, dist2d, route
 
-__all__ = ["dist", "dist2d"]
+__all__ = ["dist", "dist2d", "route"]

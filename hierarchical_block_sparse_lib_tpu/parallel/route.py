@@ -73,7 +73,10 @@ class RoutePlan:
     total_pairs: int
     per_device_pairs: tuple  # len P — load-balance evidence
     # Traffic accounting (blocks of b*b elements).
-    blocks_routed: int  # sum over stages/devices of panel sizes
+    # ICI traffic only: stage t=0 is the LOCAL panel (no transfer),
+    # so it is excluded — comparable to blocks_ring, which likewise
+    # counts only the (P-1) inter-device rotations.
+    blocks_routed: int
     blocks_ring: int  # what the dense ring would ship: (P-1) * nnz(B)
     per_stage_blocks: tuple
 
@@ -91,6 +94,32 @@ class RoutePlan:
             f"({self.blocks_routed / max(1, self.blocks_ring):.1%}), "
             f"pairs/device max/mean={bal:.2f}"
         )
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, int(n) - 1).bit_length()
+
+
+def bucket_plan(plan: RoutePlan) -> RoutePlan:
+    """Round every static capacity of a plan up to a power of two (stage
+    pair/out caps, result cap, send-panel widths).  Iterating workloads
+    (routed purification) replan each step as the structure evolves;
+    bucketed plans make consecutive steps land on the SAME compiled
+    program whenever their capacity envelope matches, trading <=2x
+    workspace for compile reuse."""
+    send_idx = []
+    for s in plan.send_idx:
+        w = _next_pow2(s.shape[1])
+        padded = np.full((s.shape[0], w), -1, np.int32)
+        padded[:, : s.shape[1]] = s
+        send_idx.append(padded)
+    return dataclasses.replace(
+        plan,
+        send_idx=tuple(send_idx),
+        stage_pair_caps=tuple(_next_pow2(c) for c in plan.stage_pair_caps),
+        stage_out_caps=tuple(_next_pow2(c) for c in plan.stage_out_caps),
+        out_cap=_next_pow2(plan.out_cap),
+    )
 
 
 def plan_route(a: BlockMatrix, b: BlockMatrix, n_dev: int) -> RoutePlan:
@@ -139,7 +168,8 @@ def plan_route(a: BlockMatrix, b: BlockMatrix, n_dev: int) -> RoutePlan:
         for s in range(n_dev):
             idx = raw[t][s]
             sidx[s, : idx.size] = idx
-            blocks_routed += int(idx.size)
+            if t != 0:  # stage 0 gathers locally; no ICI transfer
+                blocks_routed += int(idx.size)
         per_stage_blocks.append(int(stage_sizes[t]))
         # Exact per-(stage, dst) symbolic plan for the local multiply.
         for d in range(n_dev):
@@ -194,6 +224,83 @@ def plan_route(a: BlockMatrix, b: BlockMatrix, n_dev: int) -> RoutePlan:
     )
 
 
+def _routed_stages(
+    a_loc: BlockMatrix,
+    b_loc: BlockMatrix,
+    send_l,
+    plan: RoutePlan,
+    out_cap: int,
+    backend: str,
+    precision: str,
+    axis: str,
+    n_dev: int,
+):
+    """Shared inner stage loop (inside shard_map): software-pipelined
+    routed panel exchange + per-stage local SpGEMM + union accumulate.
+    Returns per-device (C accumulator, pair count, overflow flag)."""
+    stages = list(plan.stages)
+    n_stages = len(stages)
+
+    def pack(si, k):
+        """Gather my outgoing panel for kept-stage k, ppermute it to
+        its destination, return the received panel's (ids, data)."""
+        idx = si[0]
+        valid = idx >= 0
+        safe = jnp.maximum(idx, 0)
+        ids_s = jnp.where(valid, b_loc.ids[safe], SENTINEL).astype(
+            jnp.int32
+        )
+        data_s = jnp.where(valid[:, None, None], b_loc.data[safe], 0)
+        t = stages[k]
+        if t == 0:
+            return ids_s, data_s
+        perm = [(s, (s - t) % n_dev) for s in range(n_dev)]
+        return (
+            jax.lax.ppermute(ids_s, axis, perm),
+            jax.lax.ppermute(data_s, axis, perm),
+        )
+
+    c = assembly.empty(
+        a_loc.n_rows, b_loc.n_cols, a_loc.block_size, out_cap,
+        dtype=a_loc.dtype,
+    )
+    _vary = lambda v: jax.lax.pcast(v, (axis,), to="varying")  # noqa: E731
+    c = jax.tree.map(_vary, c)
+    pairs = _vary(jnp.zeros((), jnp.int32))
+    ovf = _vary(jnp.zeros((), bool))
+
+    # Software pipeline: issue exchange k+1 before computing with
+    # panel k, so the ppermute rides ICI behind the MXU batch.
+    recv = pack(send_l[0], 0)
+    for k in range(n_stages):
+        nxt = pack(send_l[k + 1], k + 1) if k + 1 < n_stages else None
+        ids_r, data_r = recv
+        b_recv = BlockMatrix(
+            ids=ids_r,
+            data=data_r,
+            nnz=jnp.sum(ids_r != SENTINEL).astype(jnp.int32),
+            n_rows=b_loc.n_rows,
+            n_cols=b_loc.n_cols,
+            block_size=b_loc.block_size,
+        )
+        c_s, info = spgemm(
+            a_loc,
+            b_recv,
+            pair_cap=plan.stage_pair_caps[k],
+            out_cap=plan.stage_out_caps[k],
+            backend=backend,
+            precision=precision,
+        )
+        c, add_ovf = basic.add_with_info(c, c_s, cap=out_cap)
+        pairs = pairs + info.n_block_pairs
+        ovf = (
+            ovf | info.pair_overflow | info.out_overflow
+            | info.row_overflow | add_ovf
+        )
+        recv = nxt
+    return c, pairs, ovf
+
+
 def dist_spgemm_routed(
     a: BlockMatrix,
     b: BlockMatrix,
@@ -233,64 +340,10 @@ def dist_spgemm_routed(
         b_loc = dataclasses.replace(
             b_l, ids=b_l.ids[0], data=b_l.data[0], nnz=b_l.nnz[0]
         )
-
-        def pack(si, k):
-            """Gather my outgoing panel for kept-stage k, ppermute it to
-            its destination, return the received panel as a BlockMatrix."""
-            idx = si[0]
-            valid = idx >= 0
-            safe = jnp.maximum(idx, 0)
-            ids_s = jnp.where(valid, b_loc.ids[safe], SENTINEL).astype(
-                jnp.int32
-            )
-            data_s = jnp.where(valid[:, None, None], b_loc.data[safe], 0)
-            t = stages[k]
-            if t == 0:
-                return ids_s, data_s
-            perm = [(s, (s - t) % n_dev) for s in range(n_dev)]
-            return (
-                jax.lax.ppermute(ids_s, axis, perm),
-                jax.lax.ppermute(data_s, axis, perm),
-            )
-
-        c = assembly.empty(
-            a_loc.n_rows, b_loc.n_cols, a_loc.block_size, out_cap,
-            dtype=a_loc.dtype,
+        c, pairs, ovf = _routed_stages(
+            a_loc, b_loc, send_l, plan, out_cap, backend, precision,
+            axis, n_dev,
         )
-        _vary = lambda v: jax.lax.pcast(v, (axis,), to="varying")  # noqa: E731
-        c = jax.tree.map(_vary, c)
-        pairs = _vary(jnp.zeros((), jnp.int32))
-        ovf = _vary(jnp.zeros((), bool))
-
-        # Software pipeline: issue exchange k+1 before computing with
-        # panel k, so the ppermute rides ICI behind the MXU batch.
-        recv = pack(send_l[0], 0)
-        for k in range(n_stages):
-            nxt = pack(send_l[k + 1], k + 1) if k + 1 < n_stages else None
-            ids_r, data_r = recv
-            b_recv = BlockMatrix(
-                ids=ids_r,
-                data=data_r,
-                nnz=jnp.sum(ids_r != SENTINEL).astype(jnp.int32),
-                n_rows=b_loc.n_rows,
-                n_cols=b_loc.n_cols,
-                block_size=b_loc.block_size,
-            )
-            c_s, info = spgemm(
-                a_loc,
-                b_recv,
-                pair_cap=plan.stage_pair_caps[k],
-                out_cap=plan.stage_out_caps[k],
-                backend=backend,
-                precision=precision,
-            )
-            c, add_ovf = basic.add_with_info(c, c_s, cap=out_cap)
-            pairs = pairs + info.n_block_pairs
-            ovf = (
-                ovf | info.pair_overflow | info.out_overflow
-                | info.row_overflow | add_ovf
-            )
-            recv = nxt
         c = basic.scale(c, jnp.asarray(alpha, c.dtype))
         total = jax.lax.psum(pairs, axis)
         any_ovf = jax.lax.pmax(ovf.astype(jnp.int32), axis) > 0
@@ -325,3 +378,138 @@ def dist_spgemm_routed(
         n_stages_skipped=plan.n_dev - n_stages,
     )
     return c, stats
+
+
+def dist_sp2_step_routed(
+    x: BlockMatrix,
+    mesh: Mesh,
+    plan: RoutePlan,
+    tau,
+    target_trace=0.0,
+    cap: int | None = None,
+    axis: str = "p",
+    backend: str = "auto",
+    precision: str = "highest",
+):
+    """One distributed SP2 purification step over the ROUTED exchange:
+    X@X ships only the X panels each device's products touch (plan from
+    `plan_route(xd, xd, P)` on the current structure), then the
+    lax.cond-free polynomial blend, fully-local truncation, and repack —
+    the flagship workload (BASELINE.json:9) on the mandated block router
+    (BASELINE.json:5) instead of the dense ring of `dist.dist_sp2_step`.
+
+    Returns (X_next distributed, stats dict).  `cap` is the per-device
+    iterate capacity after truncation (default: the plan's exact union
+    out_cap).
+    """
+    from hierarchical_block_sparse_lib_tpu.ops import repack as repack_mod
+    from hierarchical_block_sparse_lib_tpu.ops.norms import trace as _trace
+    from hierarchical_block_sparse_lib_tpu.ops.truncate import truncate
+
+    n_dev = mesh.shape[axis]
+    assert n_dev == plan.n_dev
+    out_cap = plan.out_cap
+    x_cap = out_cap if cap is None else cap
+    n_stages = len(plan.stages)
+    send_dev = [
+        jax.device_put(
+            np.asarray(s), jax.sharding.NamedSharding(mesh, P(axis))
+        )
+        for s in plan.send_idx
+    ]
+
+    def body(x_l, *send_l):
+        x_loc = dataclasses.replace(
+            x_l, ids=x_l.ids[0], data=x_l.data[0], nnz=x_l.nnz[0]
+        )
+        t = jax.lax.psum(_trace(x_loc), axis)
+        x2, pairs, ovf = _routed_stages(
+            x_loc, x_loc, send_l, plan, out_cap, backend, precision,
+            axis, n_dev,
+        )
+        # X_next = (2s-1)*X^2 + (2-2s)*X, s = [trace > target] — the same
+        # blend as dist.dist_sp2_step / models.sp2_step.
+        s = (t > jnp.asarray(target_trace, t.dtype)).astype(x_loc.dtype)
+        y = basic.add(x2, x_loc, alpha=2.0 * s - 1.0, beta=2.0 - 2.0 * s)
+        y = truncate(y, tau)
+        nnz_kept = y.nnz
+        y = repack_mod.repack(y, x_cap)
+        total = jax.lax.psum(pairs, axis)
+        any_ovf = (
+            jax.lax.pmax(
+                (ovf | (nnz_kept > x_cap)).astype(jnp.int32), axis
+            )
+            > 0
+        )
+        return (
+            jax.tree.map(lambda v: v[None], y),
+            t[None],
+            pairs[None],
+            total[None],
+            any_ovf[None],
+        )
+
+    spec = BlockMatrix(
+        ids=P(axis), data=P(axis), nnz=P(axis),
+        n_rows=x.n_rows, n_cols=x.n_cols, block_size=x.block_size,
+    )
+    f = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec,) + (P(axis),) * n_stages,
+        out_specs=(spec, P(axis), P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+    y, t, dev_pairs, total, ovf = f(x, *send_dev)
+    stats = dict(
+        trace=t[0],
+        n_block_pairs=total[0],
+        per_device_pairs=dev_pairs,
+        overflow=ovf.any(),
+        blocks_routed=plan.blocks_routed,
+        blocks_ring=plan.blocks_ring,
+        n_stages=n_stages,
+        n_stages_skipped=plan.n_dev - n_stages,
+    )
+    return y, stats
+
+
+def dist_purify_routed(
+    x: BlockMatrix,
+    mesh: Mesh,
+    n_steps: int,
+    tau,
+    target_trace=0.0,
+    cap: int | None = None,
+    axis: str = "p",
+    backend: str = "auto",
+    precision: str = "highest",
+    bucket: bool = True,
+):
+    """`n_steps` distributed SP2 iterations on the routed exchange,
+    REPLANNING the route each step as the iterate's structure evolves
+    (the structure densifies toward the polynomial union before
+    truncation re-sparsifies it, so a single static plan would either
+    overflow or over-ship).
+
+    Host loop (one device sync per step for the ids); with
+    `bucket=True` every plan's static capacities are rounded up to
+    powers of two so consecutive steps whose envelope matches reuse the
+    SAME compiled program — the distributed analogue of
+    `models.profile_purify`'s capacity discipline.
+
+    Returns (X_final distributed, list of per-step stats dicts — each
+    carrying the exact routed-traffic and pair-balance evidence).
+    """
+    n_dev = mesh.shape[axis]
+    stats = []
+    for _ in range(n_steps):
+        plan = plan_route(x, x, n_dev)
+        if bucket:
+            plan = bucket_plan(plan)
+        x, st = dist_sp2_step_routed(
+            x, mesh, plan, tau, target_trace=target_trace, cap=cap,
+            axis=axis, backend=backend, precision=precision,
+        )
+        stats.append(st)
+    return x, stats

@@ -1,0 +1,157 @@
+"""B5 routed-exchange evidence at the configured order (BASELINE.json:11).
+
+B5 is the multi-host benchmark: 131072^2, banded+random mix, distributed
+SpGEMM with overlapped collectives.  Real multi-chip hardware is absent
+in this environment (one v5e chip), so this script produces the
+measurable half of the BASELINE.json:5 scaling contract on the virtual
+8-device CPU mesh (VERDICT r1 items 1/3):
+
+- exact routed-traffic accounting at the FULL B5 order: blocks shipped
+  by the sparsity-aware router (`parallel/route.py`) vs the dense ring's
+  (P-1) * nnz(B), per kept stage,
+- per-device pair-count balance (the load-balance half of the >=80%
+  nnz-block/s scaling target),
+- a correctness anchor: the routed distributed product matches the
+  single-device `spgemm` on the identical structure.
+
+Run:  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+          python scripts/b5_route_evidence.py
+Writes docs/B5_ROUTE.md.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault(
+    "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
+)
+
+import numpy as np  # noqa: E402
+
+
+def b5_mix(n, b, band_halfwidth_blocks=1, random_density=0.002, seed=7):
+    """The B5 structure: block band + uniform random sprinkle
+    (BASELINE.json:11 'banded+random mix') at block granularity."""
+    import jax.numpy as jnp
+    import hierarchical_block_sparse_lib_tpu as hbsm
+
+    nb = n // b
+    rng = np.random.default_rng(seed)
+    rows = np.arange(nb, dtype=np.int64)
+    band = []
+    for d in range(-band_halfwidth_blocks, band_halfwidth_blocks + 1):
+        cc = rows + d
+        ok = (cc >= 0) & (cc < nb)
+        band.append(rows[ok] * nb + cc[ok])
+    n_rand = int(random_density * nb * nb)
+    rand = rng.choice(nb * nb, n_rand, replace=False)
+    ids = np.unique(np.concatenate(band + [rand])).astype(np.int32)
+    data = rng.standard_normal((ids.size, b, b)).astype(np.float32) / b
+    return hbsm.BlockMatrix(
+        ids=jnp.asarray(ids),
+        data=jnp.asarray(data),
+        nnz=jnp.asarray(ids.size, jnp.int32),
+        n_rows=n,
+        n_cols=n,
+        block_size=b,
+    )
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import hierarchical_block_sparse_lib_tpu as hbsm
+    from hierarchical_block_sparse_lib_tpu.ops.spgemm import plan_spgemm
+    from hierarchical_block_sparse_lib_tpu.parallel import dist, route
+
+    n, b, P = 131072, 128, 8
+    A = b5_mix(n, b)
+    nb = n // b
+    print(f"B5 mix: {n}^2, b={b} ({nb}x{nb} blocks), nnz={int(A.nnz)}",
+          file=sys.stderr)
+
+    mesh = dist.make_mesh(P)
+    Ad = dist.distribute(A, mesh)
+    plan = route.plan_route(Ad, Ad, P)
+    print(plan.summary(), file=sys.stderr)
+
+    # Correctness anchor vs the single-device product.
+    pc, oc = plan_spgemm(A, A)
+    C_ref, _ = hbsm.spgemm(A, A, pair_cap=pc, out_cap=oc, backend="xla")
+    Cd, stats = route.dist_spgemm_routed(Ad, Ad, mesh, plan, backend="xla")
+    C_got = dist.undistribute(Cd)
+    # Same structure + same block values (routing must not perturb data).
+    ref_ids = np.asarray(C_ref.ids)[: int(C_ref.nnz)]
+    got_ids = np.asarray(C_got.ids)[: int(C_got.nnz)]
+    assert np.array_equal(ref_ids, got_ids), "routed support differs"
+    err = float(
+        np.abs(
+            np.asarray(C_got.data[: int(C_got.nnz)])
+            - np.asarray(C_ref.data[: int(C_ref.nnz)])
+        ).max()
+    )
+    scale = float(np.abs(np.asarray(C_ref.data)).max())
+    rel = err / max(scale, 1e-30)
+    assert rel < 1e-5, rel
+    assert not bool(stats["overflow"])
+    print(f"routed == single-device: max rel {rel:.2e}", file=sys.stderr)
+
+    dev_pairs = np.asarray(stats["per_device_pairs"], np.int64)
+    balance = dev_pairs.min() / max(dev_pairs.max(), 1)
+    ring = plan.blocks_ring
+    routed = plan.blocks_routed
+    mb = b * b * 4 / 1e6
+
+    lines = [
+        "# B5 routed-exchange evidence (virtual 8-device mesh)",
+        "",
+        "B5 (BASELINE.json:11) is 131072^2, banded+random mix, distributed",
+        "SpGEMM with overlapped collectives on N>=2 hosts.  Multi-chip",
+        "hardware is absent here (see BASELINE.md), so this records the",
+        "measurable half of the BASELINE.json:5 contract on the virtual",
+        "8-device CPU mesh: exact routed traffic vs the dense ring, and",
+        "per-device pair balance.  Produced by",
+        "`scripts/b5_route_evidence.py`; re-run it to regenerate.",
+        "",
+        f"- structure: {nb}x{nb} blocks of {b}^2, nnz = {int(A.nnz)}",
+        "  (tridiagonal block band + 0.2% random sprinkle)",
+        f"- product pairs: {plan.total_pairs:,} over {P} devices",
+        f"- per-device pairs: {dev_pairs.tolist()}",
+        f"- pair balance (min/max): **{balance:.1%}**"
+        "  (the load-balance half of the >=80% scaling target)",
+        f"- stages kept: {len(plan.stages)}/{P}"
+        f" (offsets {list(plan.stages)}); zero-traffic stages dropped",
+        f"- per-stage routed blocks: {list(plan.per_stage_blocks)}",
+        f"- ICI traffic routed: **{routed:,} blocks**"
+        f" ({routed * mb:,.0f} MB)",
+        f"- dense-ring traffic: {ring:,} blocks ({ring * mb:,.0f} MB)",
+        f"- routed / ring = **{routed / ring:.1%}**",
+        "",
+        "Correctness anchor: the routed distributed product reproduces",
+        f"the single-device `spgemm` support exactly, max rel error",
+        f"{rel:.2e}; no capacity overflow at the plan's per-stage caps.",
+        "",
+        "The banded share routes only to ring-adjacent devices, so most",
+        "ring offsets carry zero banded traffic and survive only for the",
+        "random sprinkle; the router ships the exact per-destination",
+        "panels (`RoutePlan.send_idx`) instead of whole shards.  On real",
+        "ICI the same plan's `ppermute`s are issued one stage ahead of",
+        "each stage's leaf GEMMs (see `parallel/route.py::_routed_stages`",
+        "and docs/OVERLAP.md for the overlap evidence methodology).",
+    ]
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs",
+        "B5_ROUTE.md",
+    )
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}", file=sys.stderr)
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
