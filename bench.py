@@ -135,12 +135,17 @@ def bench_spgemm(A, name, Ks=(5, 25), precision="highest", leaf=None):
 
     pc, oc, mbr, mcr = plan_spgemm_ex(A, A)
     b = A.block_size
+    # Local structures (banded B1/B3 mixes) additionally get a row-group
+    # plan: auto dispatch then takes the group kernel (B-slab reuse
+    # across consecutive A rows) over the per-row panel kernel.
+    gplan = hbsm.plan_groups(A, A)
+    gcaps = gplan.caps if gplan is not None else None
 
     def build(d):
         m = dataclasses.replace(A, data=d)
         C, info = hbsm.spgemm(
             m, m, pair_cap=pc, out_cap=oc, row_caps=(mbr, mcr),
-            precision=precision,
+            group_caps=gcaps, precision=precision,
         )
         return C.data
 
@@ -149,7 +154,8 @@ def bench_spgemm(A, name, Ks=(5, 25), precision="highest", leaf=None):
     pairs_per_s = pc / dt
     log(
         f"{name}: blocks={int(A.nnz)} pairs={pc} out={oc} "
-        f"row_caps=({mbr},{mcr}) t={dt*1e3:.2f} ms eff={eff_gflops:.1f} "
+        f"row_caps=({mbr},{mcr}) groups={gplan and gplan.caps} "
+        f"t={dt*1e3:.2f} ms eff={eff_gflops:.1f} "
         f"GFLOP/s nnz-block-GEMMs/s={pairs_per_s:,.0f}"
     )
     res = dict(

@@ -70,6 +70,10 @@ from hierarchical_block_sparse_lib_tpu.ops.spgemm import (
     MultiplyInfo,
 )
 from hierarchical_block_sparse_lib_tpu.ops.repack import repack, coarsen, plan_coarsen
+from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_groups import (
+    plan_groups,
+    GroupPlan,
+)
 from hierarchical_block_sparse_lib_tpu.ops.matmul import matmul, syrk
 from hierarchical_block_sparse_lib_tpu.ops.slab import spgemm_colslab
 from hierarchical_block_sparse_lib_tpu.ops.spmm import spmm, spmv
@@ -103,6 +107,8 @@ __all__ = [
     "spgemm_symbolic",
     "spamm",
     "plan_coarsen",
+    "plan_groups",
+    "GroupPlan",
     "make_plan",
     "SymbolicPlan",
     "plan_spamm",

@@ -47,15 +47,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_PRECISION = {
-    "default": jax.lax.Precision.DEFAULT,
-    "highest": jax.lax.Precision.HIGHEST,
-    # 'high' is implemented manually (bf16x3 hi/lo split) in _make_kernel:
-    # Mosaic's dot lowering supports only DEFAULT/HIGHEST, but XLA's
-    # Precision.HIGH on TPU IS the 3-pass bf16 algorithm, so the manual
-    # split reproduces it exactly — ~half the MXU passes of HIGHEST at
-    # ~2^-16-grade operand representation (vs 2^-8 default, 2^-24 highest).
-}
+# 'high' is implemented manually (bf16x3 hi/lo split, kernels/mxu.py):
+# Mosaic's dot lowering supports only DEFAULT/HIGHEST, but XLA's
+# Precision.HIGH on TPU IS the 3-pass bf16 algorithm, so the manual
+# split reproduces it exactly — ~half the MXU passes of HIGHEST at
+# ~2^-16-grade operand representation (vs 2^-8 default, 2^-24 highest).
+from hierarchical_block_sparse_lib_tpu.kernels.mxu import make_mxu_dot
 
 # VMEM budget for panels (bytes); v5e has ~16 MB less pipeline overheads.
 # 13.5 MB verified to compile with the (1,1) tier at b=128.
@@ -119,28 +116,7 @@ def _make_kernel(
     ]
     flush_sizes.reverse()
 
-    def mxu_dot(a_v, b_v, dn):
-        """One MXU contraction at the requested precision.  'high' is the
-        3-pass bf16 split (XLA Precision.HIGH, which Mosaic's dot cannot
-        express): a = hi + lo with hi = bf16(a), and
-        a@b ~= hi_a@hi_b + hi_a@lo_b + lo_a@hi_b (the lo@lo term is below
-        the f32 accumulation floor).  Each pass is a native 1-pass bf16
-        MXU dot; the VPU split work is O(b^2) against O(b^3) MXU work."""
-        if precision == "high":
-            d = lambda x, y: jax.lax.dot_general(  # noqa: E731
-                x, y, dimension_numbers=dn,
-                preferred_element_type=jnp.float32,
-            )
-            a_hi = a_v.astype(jnp.bfloat16)
-            b_hi = b_v.astype(jnp.bfloat16)
-            a_lo = (a_v - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            b_lo = (b_v - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            return d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))
-        return jax.lax.dot_general(
-            a_v, b_v, dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
-            precision=_PRECISION[precision],
-        )
+    mxu_dot = make_mxu_dot(precision)
 
     def kernel(
         a_row_start_ref,  # SMEM int32[nbr+1]

@@ -258,6 +258,7 @@ def _xla_numeric_accumulate(
         "filter_by_norm",
         "gemm_cap",
         "row_caps",
+        "group_caps",
         "syrk_upper",
     ),
 )
@@ -275,6 +276,7 @@ def spgemm(
     filter_by_norm: bool = False,
     gemm_cap: int | None = None,
     row_caps: tuple[int, int] | None = None,
+    group_caps: tuple[int, int, int, int] | None = None,
     syrk_upper: bool = False,
     a_leaf_occ: jax.Array | None = None,
     b_leaf_occ: jax.Array | None = None,
@@ -304,12 +306,22 @@ def spgemm(
 
     backend: 'xla' (gather + dot_general), 'pallas' (streaming
     gather-GEMM-accumulate kernel, TPU), 'rows' (row-panel kernel —
-    fastest; needs `row_caps`), or 'auto'.
+    fastest for general structures; needs `row_caps`), 'groups'
+    (row-group kernel — B-slab reuse across consecutive A rows, fastest
+    for banded/local structures; needs `group_caps`), or 'auto'.
 
     row_caps: (max_b_row, max_c_row) from `plan_spgemm_ex` — static
     per-row capacities that let the row-panel kernel cache contiguous
     B-row panels and C-row accumulators in VMEM.  With 'auto' on TPU,
     providing row_caps selects the row-panel kernel when it fits.
+
+    group_caps: (G, a_grp_max, slab_max, c_grp_max) from
+    `kernels.pallas_gemm_groups.plan_groups` (or GroupPlan.caps) —
+    per-row-group capacities for the group kernel.  With 'auto' on TPU,
+    group_caps takes precedence over row_caps when supported (the
+    planner only returns a plan when the structure is local enough to
+    win).  Incompatible with `filter_by_norm`/`syrk_upper` (those fall
+    back to rows/stream).
 
     precision: MXU input precision for f32 data — 'highest' (default;
     matches the C++ reference's f32 numerics via multi-pass MXU),
@@ -458,12 +470,25 @@ def spgemm(
         )
     on_tpu = jax.default_backend() == "tpu"
     if backend == "auto":
-        from hierarchical_block_sparse_lib_tpu.kernels import pallas_gemm_rows
+        from hierarchical_block_sparse_lib_tpu.kernels import (
+            pallas_gemm_groups,
+            pallas_gemm_rows,
+        )
 
         if a.dtype == jnp.float64:
             # The Pallas kernels accumulate in f32; f64 (x64 mode, CPU)
             # must take the dtype-clean dot_general path.
             backend = "xla"
+        elif (
+            on_tpu
+            and group_caps is not None
+            and not filter_by_norm
+            and not syrk_upper
+            and pallas_gemm_groups.supported(
+                a.block_size, a.dtype, *group_caps[1:], b.nb_cols
+            )
+        ):
+            backend = "groups"
         elif (
             on_tpu
             and row_caps is not None
@@ -485,7 +510,28 @@ def spgemm(
         else:
             backend = "xla"
     acc_dtype = jnp.promote_types(a.dtype, jnp.float32)
-    if backend == "rows":
+    if backend == "groups":
+        from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_groups import (
+            groups_spgemm,
+        )
+
+        if group_caps is None:
+            raise ValueError(
+                "backend='groups' requires group_caps (plan_groups)"
+            )
+        if filter_by_norm or syrk_upper:
+            raise ValueError(
+                "backend='groups' supports neither filter_by_norm nor "
+                "syrk_upper; use the rows backend"
+            )
+        gr, agm, sgm, cgm = (int(x) for x in group_caps)
+        out_data = groups_spgemm(
+            a.ids, a.data, b.ids, b.data, out_ids_pre,
+            a.nb_rows, b.nb_rows, b.nb_cols, out_cap,
+            g_rows=gr, a_grp_max=agm, slab_max=sgm, c_grp_max=cgm,
+            precision=precision,
+        )
+    elif backend == "rows":
         from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_rows import (
             rows_spgemm,
         )
@@ -546,10 +592,65 @@ def spgemm(
         row_overflow = (max_b_row > _bucket(max(row_caps[0], 1))) | (
             max_c_row > _bucket(max(row_caps[1], 1))
         )
+    elif backend == "groups":
+        # Mirror of the rows check for the group kernel's three static
+        # capacities: true per-group maxima vs the (bucketed) caps — an
+        # undersized/stale plan must never be silent (ADVICE.md r1).
+        from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_groups import (
+            _bucket as _gbucket,
+        )
+
+        g_rows, a_gm, s_gm, c_gm = group_caps
+        ngrp = -(-a.nb_rows // g_rows)
+        a_valid = a.valid_mask()
+        a_rowv = jnp.where(a_valid, a.ids // a.nb_cols, a.nb_rows)
+        gidv = jnp.clip(a_rowv // g_rows, 0, ngrp - 1)
+        pad = ~a_valid
+        a_grp = (
+            jnp.zeros((ngrp,), jnp.int32)
+            .at[gidv]
+            .add(jnp.where(pad, 0, 1))
+        )
+        a_colv = a.ids % a.nb_cols
+        kmin = (
+            jnp.full((ngrp,), b.nb_rows, jnp.int32)
+            .at[gidv]
+            .min(jnp.where(pad, b.nb_rows, a_colv).astype(jnp.int32))
+        )
+        kmax = (
+            jnp.full((ngrp,), -1, jnp.int32)
+            .at[gidv]
+            .max(jnp.where(pad, -1, a_colv).astype(jnp.int32))
+        )
+        b_rowv = jnp.where(b.valid_mask(), b.ids // b.nb_cols, b.nb_rows)
+        b_row_cnt = jnp.zeros((b.nb_rows + 1,), jnp.int32).at[b_rowv].add(1)
+        b_row_start = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(b_row_cnt[:-1])]
+        ).astype(jnp.int32)
+        slab = jnp.where(
+            kmax >= 0,
+            b_row_start[jnp.clip(kmax + 1, 0, b.nb_rows)]
+            - b_row_start[jnp.clip(kmin, 0, b.nb_rows)],
+            0,
+        )
+        c_valid = out_ids != SENTINEL
+        c_rowv = jnp.where(c_valid, out_ids // b.nb_cols, a.nb_rows)
+        c_gidv = jnp.clip(c_rowv // g_rows, 0, ngrp - 1)
+        c_grp = (
+            jnp.zeros((ngrp,), jnp.int32)
+            .at[c_gidv]
+            .add(jnp.where(c_valid, 1, 0))
+        )
+        row_overflow = (
+            (jnp.max(a_grp) > _gbucket(a_gm))
+            | (jnp.max(slab) > _gbucket(s_gm))
+            | (jnp.max(c_grp) > _gbucket(c_gm))
+        )
     else:
         row_overflow = jnp.zeros((), bool)
     alpha_is_one = isinstance(alpha, (int, float)) and float(alpha) == 1.0
-    if backend == "rows" and alpha_is_one and a.dtype == out_data.dtype:
+    exact_fill = backend in ("rows", "groups")
+    if exact_fill and alpha_is_one and a.dtype == out_data.dtype:
         # The row-panel kernel writes every used slot exactly and
         # zero-fills the tail in-kernel: no post-pass needed — this
         # saves a full read+write of the output (the dominant cost of
@@ -562,7 +663,7 @@ def spgemm(
         # makes whole-array reductions correct.  XLA fuses this mask
         # into the alpha-scale pass.
         slot_valid = out_ids != SENTINEL
-        if accum is not None and backend != "rows":
+        if accum is not None and not exact_fill:
             # Union slots with no product contribution are never visited
             # by the stream kernel (undefined windows); keep only slots
             # some pair actually wrote (beta*accum lands afterwards).

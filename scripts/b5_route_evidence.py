@@ -1,4 +1,4 @@
-"""B5 routed-exchange evidence at the configured order (BASELINE.json:11).
+"""B5 routed-exchange evidence at the configured block grid (BASELINE.json:11).
 
 B5 is the multi-host benchmark: 131072^2, banded+random mix, distributed
 SpGEMM with overlapped collectives.  Real multi-chip hardware is absent
@@ -6,13 +6,19 @@ in this environment (one v5e chip), so this script produces the
 measurable half of the BASELINE.json:5 scaling contract on the virtual
 8-device CPU mesh (VERDICT r1 items 1/3):
 
-- exact routed-traffic accounting at the FULL B5 order: blocks shipped
-  by the sparsity-aware router (`parallel/route.py`) vs the dense ring's
-  (P-1) * nnz(B), per kept stage,
+- exact routed-traffic accounting at the FULL B5 block grid
+  (1024 x 1024 blocks = 131072^2 at the 128-tile granularity): blocks
+  shipped by the sparsity-aware router (`parallel/route.py`) vs the
+  dense ring's (P-1) * nnz(B), per kept stage,
 - per-device pair-count balance (the load-balance half of the >=80%
   nnz-block/s scaling target),
 - a correctness anchor: the routed distributed product matches the
   single-device `spgemm` on the identical structure.
+
+Routing traffic/pairs depend only on the ID STRUCTURE and P, not on the
+block byte size, so the run uses b=8 blocks on the full 1024^2 block
+grid (execution is 256x lighter on the CPU mesh); byte figures are
+reported at the production b=128 scale.
 
 Run:  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
           python scripts/b5_route_evidence.py
@@ -30,14 +36,17 @@ os.environ.setdefault(
 
 import numpy as np  # noqa: E402
 
+NB = 1024  # block grid of the configured 131072^2 at b=128
+B_PROD = 128  # production block size (byte-scale reporting)
+B_RUN = 8  # run block size (structure-identical, 256x lighter)
 
-def b5_mix(n, b, band_halfwidth_blocks=1, random_density=0.002, seed=7):
+
+def b5_mix(nb, b, band_halfwidth_blocks=1, random_density=0.002, seed=7):
     """The B5 structure: block band + uniform random sprinkle
     (BASELINE.json:11 'banded+random mix') at block granularity."""
     import jax.numpy as jnp
     import hierarchical_block_sparse_lib_tpu as hbsm
 
-    nb = n // b
     rng = np.random.default_rng(seed)
     rows = np.arange(nb, dtype=np.int64)
     band = []
@@ -53,8 +62,8 @@ def b5_mix(n, b, band_halfwidth_blocks=1, random_density=0.002, seed=7):
         ids=jnp.asarray(ids),
         data=jnp.asarray(data),
         nnz=jnp.asarray(ids.size, jnp.int32),
-        n_rows=n,
-        n_cols=n,
+        n_rows=nb * b,
+        n_cols=nb * b,
         block_size=b,
     )
 
@@ -67,11 +76,9 @@ def main():
     from hierarchical_block_sparse_lib_tpu.ops.spgemm import plan_spgemm
     from hierarchical_block_sparse_lib_tpu.parallel import dist, route
 
-    n, b, P = 131072, 128, 8
-    A = b5_mix(n, b)
-    nb = n // b
-    print(f"B5 mix: {n}^2, b={b} ({nb}x{nb} blocks), nnz={int(A.nnz)}",
-          file=sys.stderr)
+    P = 8
+    A = b5_mix(NB, B_RUN)
+    print(f"B5 mix: {NB}x{NB} blocks, nnz={int(A.nnz)}", file=sys.stderr)
 
     mesh = dist.make_mesh(P)
     Ad = dist.distribute(A, mesh)
@@ -83,7 +90,6 @@ def main():
     C_ref, _ = hbsm.spgemm(A, A, pair_cap=pc, out_cap=oc, backend="xla")
     Cd, stats = route.dist_spgemm_routed(Ad, Ad, mesh, plan, backend="xla")
     C_got = dist.undistribute(Cd)
-    # Same structure + same block values (routing must not perturb data).
     ref_ids = np.asarray(C_ref.ids)[: int(C_ref.nnz)]
     got_ids = np.asarray(C_got.ids)[: int(C_got.nnz)]
     assert np.array_equal(ref_ids, got_ids), "routed support differs"
@@ -103,7 +109,7 @@ def main():
     balance = dev_pairs.min() / max(dev_pairs.max(), 1)
     ring = plan.blocks_ring
     routed = plan.blocks_routed
-    mb = b * b * 4 / 1e6
+    mb = B_PROD * B_PROD * 4 / 1e6
 
     lines = [
         "# B5 routed-exchange evidence (virtual 8-device mesh)",
@@ -113,10 +119,13 @@ def main():
         "hardware is absent here (see BASELINE.md), so this records the",
         "measurable half of the BASELINE.json:5 contract on the virtual",
         "8-device CPU mesh: exact routed traffic vs the dense ring, and",
-        "per-device pair balance.  Produced by",
+        "per-device pair balance.  Routing traffic and pair counts depend",
+        "only on the id structure and P, so the run uses the FULL",
+        f"{NB}x{NB} block grid with b={B_RUN} blocks; byte figures below",
+        f"are at the production b={B_PROD} scale.  Produced by",
         "`scripts/b5_route_evidence.py`; re-run it to regenerate.",
         "",
-        f"- structure: {nb}x{nb} blocks of {b}^2, nnz = {int(A.nnz)}",
+        f"- structure: {NB}x{NB} blocks, nnz = {int(A.nnz)}",
         "  (tridiagonal block band + 0.2% random sprinkle)",
         f"- product pairs: {plan.total_pairs:,} over {P} devices",
         f"- per-device pairs: {dev_pairs.tolist()}",
@@ -126,12 +135,12 @@ def main():
         f" (offsets {list(plan.stages)}); zero-traffic stages dropped",
         f"- per-stage routed blocks: {list(plan.per_stage_blocks)}",
         f"- ICI traffic routed: **{routed:,} blocks**"
-        f" ({routed * mb:,.0f} MB)",
+        f" ({routed * mb:,.0f} MB at b={B_PROD})",
         f"- dense-ring traffic: {ring:,} blocks ({ring * mb:,.0f} MB)",
         f"- routed / ring = **{routed / ring:.1%}**",
         "",
         "Correctness anchor: the routed distributed product reproduces",
-        f"the single-device `spgemm` support exactly, max rel error",
+        "the single-device `spgemm` support exactly, max rel error",
         f"{rel:.2e}; no capacity overflow at the plan's per-stage caps.",
         "",
         "The banded share routes only to ring-adjacent devices, so most",

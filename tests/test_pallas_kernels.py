@@ -188,3 +188,115 @@ def test_rows_backend_high_precision_bf16x3(density):
     assert errs["high"] < 2e-5, errs
     assert errs["high"] > 1e-7, errs  # proves the split path really ran
     assert errs["highest"] < errs["high"], errs
+
+
+def _banded_dense(nb, b, hw, seed=5):
+    rng = np.random.default_rng(seed)
+    d = np.zeros((nb * b, nb * b), np.float32)
+    for i in range(nb):
+        for j in range(max(0, i - hw), min(nb, i + hw + 1)):
+            d[i * b:(i + 1) * b, j * b:(j + 1) * b] = rng.standard_normal(
+                (b, b)
+            )
+    return d
+
+
+@pytest.mark.parametrize("nb,hw", [(21, 2), (16, 1), (24, 3)])
+def test_groups_backend_banded(nb, hw):
+    """Row-group kernel (B-slab reuse across consecutive A rows) vs the
+    dense oracle on banded structures — multiple bandwidths, a partial
+    last group (nb=21 not divisible by any pow2 G), and the planner's
+    G/capacity choice including its B-traffic reuse accounting."""
+    from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_groups import (
+        plan_groups,
+    )
+
+    b = 128
+    d = _banded_dense(nb, b, hw)
+    A = hbsm.from_dense(d, block_size=b)
+    plan = plan_groups(A, A)
+    assert plan is not None and plan.g >= 2
+    assert plan.reuse > 1.5  # the whole point: slab < per-pair B traffic
+    pc, oc = plan_spgemm(A, A)
+    C, info = hbsm.spgemm(
+        A, A, pair_cap=pc, out_cap=oc, backend="groups",
+        group_caps=plan.caps,
+    )
+    got = np.asarray(hbsm.to_dense(C))
+    ref = d @ d
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+    assert int(info.n_block_pairs) == pc
+    assert not bool(info.row_overflow)
+
+
+def test_groups_backend_accum_union():
+    """Fused beta-accumulate on the groups backend: union slots with no
+    product contribution must be zero-flushed in-kernel (same exact-fill
+    contract as the rows kernel) so beta*D lands on clean slots."""
+    from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_groups import (
+        plan_groups,
+    )
+
+    nb, b = 16, 128
+    rng = np.random.default_rng(9)
+    d = _banded_dense(nb, b, 1)
+    A = hbsm.from_dense(d, block_size=b)
+    dd = np.zeros_like(d)
+    dd[:b, -b:] = rng.standard_normal((b, b))  # off-support union block
+    D = hbsm.from_dense(dd, block_size=b)
+    plan = plan_groups(A, A)
+    pc, oc = plan_spgemm(A, A)
+    C, _ = hbsm.spgemm(
+        A, A, pair_cap=pc, out_cap=oc + 2, backend="groups",
+        group_caps=plan.caps, accum=D, beta=0.5,
+    )
+    got = np.asarray(hbsm.to_dense(C))
+    ref = d @ d + 0.5 * dd
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_groups_overflow_flagged():
+    """Undersized group caps (stale plan after structure growth) must
+    set MultiplyInfo.row_overflow — never silent (repo convention)."""
+    from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_groups import (
+        plan_groups,
+    )
+
+    nb, b = 16, 128
+    d = _banded_dense(nb, b, 2)
+    A = hbsm.from_dense(d, block_size=b)
+    plan = plan_groups(A, A)
+    pc, oc = plan_spgemm(A, A)
+    g, am, sm, cm = plan.caps
+    # Slab capacity below the true max (bucketing rounds to 8: go low).
+    _, info = hbsm.spgemm(
+        A, A, pair_cap=pc, out_cap=oc, backend="groups",
+        group_caps=(g, am, 8, cm),
+    )
+    assert bool(info.row_overflow)
+
+
+def test_plan_groups_rejects_nonlocal():
+    """For scattered structures the union slab approaches nnz(B) and no
+    G fits VMEM: the planner must return None (callers keep rows)."""
+    from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_groups import (
+        plan_groups,
+    )
+
+    rng = np.random.default_rng(3)
+    nb, b = 64, 128
+    n_blocks = nb * nb // 2
+    ids = np.sort(rng.choice(nb * nb, n_blocks, replace=False)).astype(
+        np.int32
+    )
+    import jax.numpy as jnp
+
+    A = hbsm.BlockMatrix(
+        ids=jnp.asarray(ids),
+        data=jnp.zeros((n_blocks, b, b), jnp.float32),
+        nnz=jnp.asarray(n_blocks, jnp.int32),
+        n_rows=nb * b,
+        n_cols=nb * b,
+        block_size=b,
+    )
+    assert plan_groups(A, A) is None
