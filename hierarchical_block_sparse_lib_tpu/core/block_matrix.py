@@ -137,7 +137,9 @@ def compact_sorted(ids: jax.Array, data: jax.Array, cap: int):
         [jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]]
     )
     # Slot per input row; duplicate ids share a slot (segment-sum merge).
-    slot = jnp.cumsum(first) - 1
+    # int32 explicitly: under x64 cumsum(bool) widens to int64 and the
+    # int32 scatters below would warn (future error) on the value cast.
+    slot = (jnp.cumsum(first) - 1).astype(jnp.int32)
     # Invalid rows: route to the trash slot `cap` (dropped by scatter).
     slot = jnp.where(valid, slot, cap)
     out_ids = jnp.full((cap,), SENTINEL, jnp.int32).at[slot].set(

@@ -33,9 +33,19 @@ def matmul(
     Eager (plans on host per structure); inside jit/scan loops use
     `spgemm` with precomputed capacities instead.
     """
+    from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_groups import (
+        plan_groups,
+    )
+
     ae = basic.transpose(a) if transpose_a else a
     be = basic.transpose(b) if transpose_b else b
     pc, oc, mbr, mcr = plan_spgemm_ex(ae, be)
+    # Local structures get a row-group plan: auto dispatch then takes
+    # the B-slab-reuse kernel.  Only profitable where per-row panels are
+    # narrow or the structure is large (measured: banded mid-sizes with
+    # >=5-wide panels run ~25% faster on the rows kernel) — gate on the
+    # narrow-panel case the rows kernel handles worst.
+    gplan = plan_groups(ae, be) if mbr < 5 or pc >= 4096 else None
     return spgemm(
         ae,
         be,
@@ -45,6 +55,7 @@ def matmul(
         precision=precision,
         backend=backend,
         row_caps=(mbr, mcr),
+        group_caps=gplan.caps if gplan is not None else None,
     )
 
 

@@ -111,6 +111,22 @@ def main():
     routed = plan.blocks_routed
     mb = B_PROD * B_PROD * 4 / 1e6
 
+    # Device-count sweep: how the routed plan's structure scales with P
+    # (host planning only — the balance and per-device-traffic trends
+    # are the virtual-mesh-measurable part of the >=80% scaling target).
+    sweep = []
+    for p_s in (2, 4, 8):
+        mesh_s = dist.make_mesh(p_s)
+        ad_s = dist.distribute(A, mesh_s)
+        pl_s = route.plan_route(ad_s, ad_s, p_s)
+        pp = np.asarray(pl_s.per_device_pairs, np.int64)
+        sweep.append(
+            (p_s, pp.min() / max(pp.max(), 1),
+             pl_s.blocks_routed / max(p_s - 1, 1),
+             pl_s.blocks_routed / pl_s.blocks_ring,
+             len(pl_s.stages))
+        )
+
     lines = [
         "# B5 routed-exchange evidence (virtual 8-device mesh)",
         "",
@@ -138,6 +154,16 @@ def main():
         f" ({routed * mb:,.0f} MB at b={B_PROD})",
         f"- dense-ring traffic: {ring:,} blocks ({ring * mb:,.0f} MB)",
         f"- routed / ring = **{routed / ring:.1%}**",
+        "",
+        "Device-count sweep (routed plan structure vs P; per-device",
+        "routed traffic ~flat with P is what lets nnz-block/s scale):",
+        "",
+        "| P | pair balance | routed blocks / (P-1) | routed/ring | stages kept |",
+        "|---|---|---|---|---|",
+        *[
+            f"| {p_s} | {bal:.1%} | {per_hop:,.0f} | {frac:.1%} | {ns}/{p_s} |"
+            for p_s, bal, per_hop, frac, ns in sweep
+        ],
         "",
         "Correctness anchor: the routed distributed product reproduces",
         "the single-device `spgemm` support exactly, max rel error",

@@ -300,3 +300,43 @@ def test_plan_groups_rejects_nonlocal():
         block_size=b,
     )
     assert plan_groups(A, A) is None
+
+
+def test_groups_backend_bf16_and_high_precision():
+    """Groups backend with bf16 storage (operand-exact single pass) and
+    f32 precision='high' (bf16x3 split via the shared mxu helper)."""
+    import jax.numpy as jnp
+    from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_groups import (
+        plan_groups,
+    )
+
+    nb, b = 12, 128
+    d = _banded_dense(nb, b, 1, seed=13)
+    ref = d.astype(np.float64) @ d.astype(np.float64)
+    scale = np.abs(ref).max()
+
+    A = hbsm.from_dense(d, block_size=b)
+    plan = plan_groups(A, A)
+    pc, oc = plan_spgemm(A, A)
+    C, _ = hbsm.spgemm(
+        A, A, pair_cap=pc, out_cap=oc, backend="groups",
+        group_caps=plan.caps, precision="high",
+    )
+    err_high = np.abs(
+        np.asarray(hbsm.to_dense(C), np.float64) - ref
+    ).max() / scale
+    # bf16x3 grade: far better than 1-pass bf16, worse than full f32.
+    assert 1e-8 < err_high < 2e-5, err_high
+
+    Ab = hbsm.BlockMatrix(
+        ids=A.ids, data=A.data.astype(jnp.bfloat16), nnz=A.nnz,
+        n_rows=A.n_rows, n_cols=A.n_cols, block_size=b,
+    )
+    Cb, _ = hbsm.spgemm(
+        Ab, Ab, pair_cap=pc, out_cap=oc, backend="groups",
+        group_caps=plan.caps,
+    )
+    err_b = np.abs(
+        np.asarray(hbsm.to_dense(Cb), np.float64) - ref
+    ).max() / scale
+    assert err_b < 2e-2, err_b  # bf16 storage grade
