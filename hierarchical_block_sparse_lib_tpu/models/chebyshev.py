@@ -72,9 +72,8 @@ def chebyshev_apply(
             row_caps=row_caps,
         )
         t_nxt = basic.add(ht, t_prev, alpha=2.0, beta=-1.0)
-        t_nxt = truncate(t_nxt, tau)
-        nnz_kept = t_nxt.nnz
-        t_nxt = repack_mod.repack(t_nxt, out_cap)
+        # Fused truncate+repack: one compaction pass straight into out_cap.
+        t_nxt, nnz_kept = truncate(t_nxt, tau, cap=out_cap)
         f_acc, acc_ovf = basic.add_with_info(
             f_acc, t_nxt, beta=float(coeffs[k]), cap=out_cap
         )

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from hierarchical_block_sparse_lib_tpu.core.block_matrix import BlockMatrix
 from hierarchical_block_sparse_lib_tpu.core.assembly import eye
-from hierarchical_block_sparse_lib_tpu.ops import basic, repack as repack_mod
+from hierarchical_block_sparse_lib_tpu.ops import basic
 from hierarchical_block_sparse_lib_tpu.ops.spgemm import spgemm
 from hierarchical_block_sparse_lib_tpu.ops.truncate import truncate
 
@@ -83,9 +83,8 @@ def inv_sqrt_newton_schulz(
             z, t, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
             row_caps=row_caps,
         )
-        z2 = truncate(z2, tau)
-        nnz_kept = z2.nnz
-        z2 = repack_mod.repack(z2, out_cap)
+        # Fused truncate+repack: one compaction pass straight into out_cap.
+        z2, nnz_kept = truncate(z2, tau, cap=out_cap)
         total = total + i1.n_block_pairs + i2.n_block_pairs + i3.n_block_pairs
         for i in (i1, i2, i3):
             ovf = ovf | i.pair_overflow | i.out_overflow | i.row_overflow

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from hierarchical_block_sparse_lib_tpu.core.block_matrix import BlockMatrix
 from hierarchical_block_sparse_lib_tpu.core.assembly import eye
-from hierarchical_block_sparse_lib_tpu.ops import basic, repack as repack_mod
+from hierarchical_block_sparse_lib_tpu.ops import basic
 from hierarchical_block_sparse_lib_tpu.ops.spgemm import spgemm
 from hierarchical_block_sparse_lib_tpu.ops.truncate import truncate
 
@@ -45,6 +45,9 @@ def polynomial(
             | info.row_overflow
         )
         acc = basic.add(acc, basic.scale(ident, c))
-        acc = truncate(acc, tau)
-        acc = repack_mod.repack(acc, out_cap)
+        # Fused truncate+repack (and the kept count it returns closes a
+        # silent-drop hole: the old separate repack never reported when
+        # the truncated support still exceeded out_cap).
+        acc, kept = truncate(acc, tau, cap=out_cap)
+        overflow = overflow | (kept > out_cap)
     return acc, total_pairs, overflow

@@ -121,9 +121,11 @@ def sp2_step(
             x, x, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
             row_caps=row_caps, accum=x, alpha=alpha, beta=beta,
         )
-        y = truncate(y, tau)
-        nnz_kept = y.nnz
-        y = repack_mod.repack(y, cap)
+        # Fused truncate+repack: one compaction pass straight from the
+        # union-support out_cap into the iterate cap (kept > cap is the
+        # repack-overflow signal the separate repack used to leave to
+        # nnz bookkeeping).
+        y, nnz_kept = truncate(y, tau, cap=cap)
     stats = PurificationStats(
         trace=t,
         nnz_blocks=y.nnz,

@@ -24,17 +24,28 @@ from hierarchical_block_sparse_lib_tpu.core import morton
 from hierarchical_block_sparse_lib_tpu.ops.norms import block_frob_squared
 
 
-@partial(jax.jit, static_argnames=("subtree_level",))
+@partial(jax.jit, static_argnames=("subtree_level", "cap"))
 def truncate(
     a: BlockMatrix,
     tau: float | jax.Array,
     subtree_level: int | None = None,
-) -> BlockMatrix:
+    cap: int | None = None,
+):
     """Drop blocks with frob norm <= tau; compact storage.
 
     With `subtree_level` set, drops whole quadtree subtrees at that level
     whose aggregate norm is <= tau (the reference's hierarchical pruning
     semantics, SURVEY.md section 4.3); default is leaf-block truncation.
+
+    With `cap` set, the compaction scatters directly into `cap`-sized
+    storage (fusing the truncate-then-`repack` chain into ONE pass over
+    the block tensor — the purification step's iterate shrinks from the
+    union-support `out_cap` to the iterate `cap` every step, and writing
+    the out_cap-sized intermediate was pure waste) and the return value
+    becomes ``(matrix, kept)`` where `kept` is the pre-clamp survivor
+    count: ``kept > cap`` means trailing (highest-id) survivors were
+    dropped — the caller's repack-overflow signal.  Default (`cap=None`)
+    keeps the input capacity and returns just the matrix.
     """
     # Threshold at the norm accumulation dtype (f64 under x64 mode).
     tdt = jnp.promote_types(a.dtype, jnp.float32)
@@ -71,18 +82,23 @@ def truncate(
     # surviving blocks' output slots are just cumsum(keep)-1 — one int
     # prefix-sum plus one scatter of the data (the argsort+gather it
     # replaces cost an extra full read+write of the block tensor).
-    slot = jnp.where(keep, jnp.cumsum(keep) - 1, a.cap).astype(jnp.int32)
+    ocap = a.cap if cap is None else cap
+    slot = jnp.where(keep, jnp.cumsum(keep) - 1, ocap).astype(jnp.int32)
     out_ids = (
-        jnp.full((a.cap,), SENTINEL, jnp.int32)
+        jnp.full((ocap,), SENTINEL, jnp.int32)
         .at[slot]
         .set(a.ids, mode="drop")
     )
     out_data = (
-        jnp.zeros_like(a.data).at[slot].set(a.data, mode="drop")
+        jnp.zeros((ocap,) + a.data.shape[1:], a.dtype)
+        .at[slot]
+        .set(a.data, mode="drop")
     )
-    return dataclasses.replace(
+    kept = jnp.sum(keep).astype(jnp.int32)
+    m = dataclasses.replace(
         a,
         ids=out_ids,
         data=out_data,
-        nnz=jnp.sum(keep).astype(jnp.int32),
+        nnz=jnp.minimum(kept, ocap),
     )
+    return m if cap is None else (m, kept)

@@ -280,7 +280,6 @@ def dist_sp2_step(
     local), and the trace needs one psum.  Returns
     (X_next distributed, stats dict of scalars).
     """
-    from hierarchical_block_sparse_lib_tpu.ops import repack as repack_mod
     from hierarchical_block_sparse_lib_tpu.ops.norms import trace as _trace
     from hierarchical_block_sparse_lib_tpu.ops.spgemm import spgemm as _spgemm
 
@@ -327,9 +326,8 @@ def dist_sp2_step(
         # lax.cond-free blend as the single-chip sp2_step).
         s = (t > jnp.asarray(target_trace, t.dtype)).astype(x_loc.dtype)
         y = basic.add(x2, x_loc, alpha=2.0 * s - 1.0, beta=2.0 - 2.0 * s)
-        y = truncate(y, tau)
-        nnz_kept = y.nnz
-        y = repack_mod.repack(y, x_cap)
+        # Fused truncate+repack: one compaction pass straight into x_cap.
+        y, nnz_kept = truncate(y, tau, cap=x_cap)
         # (output spec cap == x_cap regardless of the input's local cap)
         total_pairs = jax.lax.psum(pairs, axis)
         any_ovf = (

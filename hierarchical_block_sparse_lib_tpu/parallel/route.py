@@ -402,7 +402,6 @@ def dist_sp2_step_routed(
     iterate capacity after truncation (default: the plan's exact union
     out_cap).
     """
-    from hierarchical_block_sparse_lib_tpu.ops import repack as repack_mod
     from hierarchical_block_sparse_lib_tpu.ops.norms import trace as _trace
     from hierarchical_block_sparse_lib_tpu.ops.truncate import truncate
 
@@ -431,9 +430,8 @@ def dist_sp2_step_routed(
         # blend as dist.dist_sp2_step / models.sp2_step.
         s = (t > jnp.asarray(target_trace, t.dtype)).astype(x_loc.dtype)
         y = basic.add(x2, x_loc, alpha=2.0 * s - 1.0, beta=2.0 - 2.0 * s)
-        y = truncate(y, tau)
-        nnz_kept = y.nnz
-        y = repack_mod.repack(y, x_cap)
+        # Fused truncate+repack: one compaction pass straight into x_cap.
+        y, nnz_kept = truncate(y, tau, cap=x_cap)
         total = jax.lax.psum(pairs, axis)
         any_ovf = (
             jax.lax.pmax(

@@ -108,6 +108,42 @@ def test_truncate():
     assert err <= tau * np.sqrt(max(dropped, 1)) + 1e-6
 
 
+def test_truncate_to_cap():
+    """Fused truncate+repack (`cap=`): matches the two-op chain, reports
+    the pre-clamp kept count, and drops trailing survivors on overflow."""
+    n, b = 64, 8
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((n, n)).astype(np.float32)
+    x[:16, :16] *= 1e-6
+    A = hbsm.from_dense(x, block_size=b)
+    tau = 1e-3
+    ref = hbsm.truncate(A, tau)
+    kept_ref = int(ref.nnz)
+
+    # Roomy cap: identical content, exact kept count, invariants hold.
+    cap = kept_ref + 3
+    T, kept = hbsm.truncate(A, tau, cap=cap)
+    assert int(kept) == kept_ref and int(T.nnz) == kept_ref
+    assert T.cap == cap
+    np.testing.assert_array_equal(
+        np.asarray(T.ids), np.asarray(hbsm.repack(ref, cap).ids)
+    )
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(T)), np.asarray(hbsm.to_dense(ref))
+    )
+    # Padding slots all-zero (load-bearing invariant).
+    assert np.all(np.asarray(T.data)[kept_ref:] == 0)
+
+    # Tight cap: kept reports the overflow, trailing (highest-id)
+    # survivors dropped — same semantics as truncate-then-repack.
+    small = kept_ref - 2
+    T2, kept2 = hbsm.truncate(A, tau, cap=small)
+    assert int(kept2) == kept_ref > small and int(T2.nnz) == small
+    np.testing.assert_array_equal(
+        np.asarray(T2.ids), np.asarray(ref.ids)[:small]
+    )
+
+
 def test_truncate_subtree():
     n, b = 64, 8
     rng = np.random.default_rng(8)
