@@ -4,6 +4,8 @@
 from hierarchical_block_sparse_lib_tpu.models.purification import (
     CapacityProfile,
     PurificationStats,
+    PurifyPlans,
+    plan_purify,
     profile_purify,
     purify,
     purify_scan,
@@ -21,6 +23,8 @@ from hierarchical_block_sparse_lib_tpu.models.chebyshev import (
 __all__ = [
     "CapacityProfile",
     "PurificationStats",
+    "PurifyPlans",
+    "plan_purify",
     "profile_purify",
     "purify",
     "purify_scan",

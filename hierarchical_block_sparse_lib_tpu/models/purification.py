@@ -25,7 +25,12 @@ import jax.numpy as jnp
 from hierarchical_block_sparse_lib_tpu.core.block_matrix import BlockMatrix
 from hierarchical_block_sparse_lib_tpu.ops import basic, repack as repack_mod
 from hierarchical_block_sparse_lib_tpu.ops.norms import trace, frob_squared
-from hierarchical_block_sparse_lib_tpu.ops.spgemm import spgemm, MultiplyInfo
+from hierarchical_block_sparse_lib_tpu.ops.spgemm import (
+    MultiplyInfo,
+    SymbolicPlan,
+    make_plan,
+    spgemm,
+)
 from hierarchical_block_sparse_lib_tpu.ops.truncate import truncate
 
 
@@ -44,6 +49,10 @@ class PurificationStats:
     # X@X product support with X's own support): the step's exact
     # `out_cap` requirement — what `profile_purify` harvests.
     nnz_union: jax.Array
+    # True if a precomputed per-step plan (`plan_purify`) was used but the
+    # iterate's id structure diverged from the planned trajectory — the
+    # step's output is then WRONG (stale plan); always False unplanned.
+    plan_mismatch: jax.Array
 
 
 @partial(
@@ -62,6 +71,7 @@ def sp2_step(
     cap: int | None = None,
     row_caps: tuple | None = None,
     symmetric: bool = False,
+    plan: SymbolicPlan | None = None,
 ):
     """One SP2 (trace-correcting purification) step with truncation.
 
@@ -97,6 +107,11 @@ def sp2_step(
     # separate union-add was the single most expensive op of the step).
     s = take_square.astype(x.dtype)
     alpha, beta = 2.0 * s - 1.0, 2.0 - 2.0 * s
+    if symmetric and plan is not None:
+        raise ValueError(
+            "sp2_step: plan= is not supported with symmetric=True "
+            "(the upper-triangle accumulator has its own structure)"
+        )
     if symmetric:
         # X symmetric => X^T == X: feed X itself as the transposed
         # operand (no transpose pass), enumerate upper pairs only,
@@ -119,7 +134,7 @@ def sp2_step(
     else:
         y, info = spgemm(
             x, x, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
-            row_caps=row_caps, accum=x, alpha=alpha, beta=beta,
+            row_caps=row_caps, accum=x, alpha=alpha, beta=beta, plan=plan,
         )
         # Fused truncate+repack: one compaction pass straight from the
         # union-support out_cap into the iterate cap (kept > cap is the
@@ -136,8 +151,84 @@ def sp2_step(
         out_overflow=info.out_overflow | info.row_overflow,
         repack_overflow=nnz_kept > cap,
         nnz_union=info.n_out_blocks,
+        plan_mismatch=jnp.zeros((), bool),  # set by the planned scan
     )
     return y, stats
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PurifyPlans:
+    """Per-step symbolic+union plans for a FIXED purification trajectory
+    (every `SymbolicPlan` field stacked over a leading [n_steps] axis)
+    plus the expected per-step input ids.  Built by `plan_purify`; feed
+    to ``purify_scan(..., plans=...)`` — the scan then runs ZERO
+    structural work per step (no symbolic sorts, no union merge), only
+    the numeric GEMM phase, scatters, trace, and truncation.
+
+    Valid while the trajectory's id structure is unchanged (data drift
+    that does not change which blocks survive truncation is fine — the
+    SCF regime).  A divergence is caught per step by comparing the
+    iterate's ids against `expected_ids` and reported in
+    `PurificationStats.plan_mismatch` — never silent."""
+
+    plans: SymbolicPlan  # stacked: each field [n_steps, ...]
+    expected_ids: jax.Array  # int32[n_steps, cap]
+
+    @property
+    def n_steps(self) -> int:
+        return self.expected_ids.shape[0]
+
+
+def plan_purify(
+    x: BlockMatrix,
+    n_steps: int,
+    tau: float,
+    prof: CapacityProfile,
+    target_trace: float | jax.Array = 0.0,
+    backend: str = "auto",
+) -> PurifyPlans:
+    """Walk the SP2 trajectory once eagerly at `prof`'s capacities
+    (bit-identical to the scan: same caps, same program) and capture
+    each step's symbolic+union plan.  One-time setup cost — the SCF /
+    fixed-structure regime amortizes it over many `purify_scan` runs.
+
+    Reference parity: the reference's recursion re-discovers the product
+    structure every multiply; here the structure of the whole iteration
+    is precomputed host/device-side and the iteration itself is pure
+    numeric work (SURVEY.md section 8.2 "hot loop = the batched GEMM")."""
+    from hierarchical_block_sparse_lib_tpu.ops import repack as repack_mod
+
+    cap = prof.cap
+    xi = repack_mod.repack(x, cap)
+    plans, exp = [], []
+    for k in range(n_steps):
+        exp.append(xi.ids)
+        plans.append(
+            make_plan(
+                xi, xi, prof.pair_cap, accum_ids=xi.ids,
+                out_cap=prof.out_cap,
+            )
+        )
+        xi, s = sp2_step(
+            xi,
+            tau,
+            pair_cap=prof.pair_cap,
+            out_cap=prof.out_cap,
+            target_trace=target_trace,
+            backend=backend,
+            cap=cap,
+            row_caps=prof.row_caps,
+            plan=plans[-1],
+        )
+        if bool(s.pair_overflow | s.out_overflow | s.repack_overflow):
+            raise RuntimeError(
+                f"plan_purify: overflow at step {k} — the capacity "
+                "profile does not cover this input (rebuild with "
+                "profile_purify)"
+            )
+    stacked = jax.tree.map(lambda *v: jnp.stack(v), *plans)
+    return PurifyPlans(plans=stacked, expected_ids=jnp.stack(exp))
 
 
 @partial(
@@ -158,10 +249,16 @@ def purify_scan(
     cap: int | None = None,
     row_caps: tuple | None = None,
     symmetric: bool = False,
+    plans: PurifyPlans | None = None,
 ):
     """`n_steps` SP2 iterations as ONE compiled program (`lax.scan`) —
     the whole purification pipeline stays on-device with zero host
-    round-trips.  Returns (X_final, PurificationStats stacked [n_steps])."""
+    round-trips.  Returns (X_final, PurificationStats stacked [n_steps]).
+
+    With `plans` (from `plan_purify`, same capacities), each step reuses
+    its precomputed symbolic+union structure: the per-step cost drops to
+    the numeric phase only.  Structure divergence from the planned
+    trajectory is reported in `stats.plan_mismatch` per step."""
     import dataclasses
 
     from hierarchical_block_sparse_lib_tpu.ops import repack as repack_mod
@@ -172,8 +269,13 @@ def purify_scan(
     # first step's repack_overflow so it is never silent (ADVICE.md r1).
     init_ovf = x.nnz > cap
     x = repack_mod.repack(x, cap)
+    if plans is not None and plans.expected_ids.shape != (n_steps, cap):
+        raise ValueError(
+            f"plans built for (n_steps, cap)="
+            f"{plans.expected_ids.shape}, got ({n_steps}, {cap})"
+        )
 
-    def step(x, _):
+    def step(x, xs):
         y, s = sp2_step(
             x,
             tau,
@@ -184,10 +286,16 @@ def purify_scan(
             cap=cap,
             row_caps=row_caps,
             symmetric=symmetric,
+            plan=None if xs is None else xs[0],
         )
+        if xs is not None:
+            s = dataclasses.replace(
+                s, plan_mismatch=jnp.any(x.ids != xs[1])
+            )
         return y, s
 
-    xf, stats = jax.lax.scan(step, x, None, length=n_steps)
+    xs = None if plans is None else (plans.plans, plans.expected_ids)
+    xf, stats = jax.lax.scan(step, x, xs, length=n_steps)
     stats = dataclasses.replace(
         stats,
         repack_overflow=stats.repack_overflow.at[0].set(

@@ -160,13 +160,64 @@ class SymbolicPlan:
     same id structure (fixed-sparsity iteration: stencil applications,
     repeated C = A@B with frozen supports).  Skips the symbolic phase —
     sorts, row-range matching, pair expansion — entirely; only the
-    numeric phase runs.  Build with `make_plan`."""
+    numeric phase runs.  Build with `make_plan`.
+
+    When built with ``accum_ids=``/``out_cap=``, the union-merge of the
+    beta-accumulate path (its own sort + two searchsorteds per call) is
+    precomputed too: `out_ids`/`seg`/`pos_acc`/`n_unique` are the union
+    structure of the product support with the accumulator support, and
+    ``spgemm(..., plan=..., accum=...)`` then runs ONLY the numeric
+    phase + scatters — the whole structural cost of a fixed-support
+    C = alpha*AB + beta*D collapses to zero."""
 
     a_idx: jax.Array  # int32[pair_cap]
     b_idx: jax.Array  # int32[pair_cap]
     c_id: jax.Array  # int32[pair_cap], sorted, SENTINEL padded
     total: jax.Array  # int32[] surviving pairs
     raw_total: jax.Array  # int32[] unfiltered enumeration size
+    # Optional precomputed accumulate-union structure (else None).
+    out_ids: jax.Array | None = None  # int32[out_cap] union ids
+    seg: jax.Array | None = None  # int32[pair_cap] pair -> union slot
+    pos_acc: jax.Array | None = None  # int32[acc_cap] accum -> union slot
+    n_unique: jax.Array | None = None  # int32[] distinct union blocks
+
+
+def _union_merge(c_id: jax.Array, acc_ids: jax.Array, out_cap: int):
+    """Union structure of the (sorted, SENTINEL-padded) product c_ids
+    with an accumulator's sorted ids: returns (out_ids_pre, seg,
+    pos_acc, n_unique) — the beta-accumulate bookkeeping of `spgemm`."""
+    valid_p = c_id != SENTINEL
+    uni = jnp.sort(jnp.concatenate([c_id, acc_ids]))
+    firstu = jnp.concatenate(
+        [jnp.ones((1,), bool), uni[1:] != uni[:-1]]
+    )
+    validu = uni != SENTINEL
+    slotu = jnp.where(
+        validu, jnp.cumsum(firstu & validu) - 1, out_cap
+    )
+    out_ids_pre = (
+        jnp.full((out_cap,), SENTINEL, jnp.int32)
+        .at[slotu]
+        .set(uni, mode="drop")
+    )
+    n_unique = jnp.sum(firstu & validu).astype(jnp.int32)
+    # Pair/accum rows -> union slots (SENTINEL tail sorts last, so
+    # positions of valid ids are < n_unique).
+    seg = jnp.where(
+        valid_p,
+        jnp.searchsorted(
+            out_ids_pre, c_id, side="left", method="sort"
+        ).astype(jnp.int32),
+        out_cap,
+    )
+    pos_acc = jnp.where(
+        acc_ids != SENTINEL,
+        jnp.searchsorted(
+            out_ids_pre, acc_ids, side="left", method="sort"
+        ).astype(jnp.int32),
+        out_cap,
+    )
+    return out_ids_pre, seg, pos_acc, n_unique
 
 
 def make_plan(
@@ -176,16 +227,34 @@ def make_plan(
     tau: float | jax.Array = 0.0,
     filter_by_norm: bool = False,
     syrk_upper: bool = False,
+    accum_ids: jax.Array | None = None,
+    out_cap: int | None = None,
 ) -> SymbolicPlan:
     """Run the symbolic phase once and package it for reuse via
     ``spgemm(..., plan=...)``.  Valid while both operands' id arrays are
     unchanged (data may change freely); with `filter_by_norm` the norm
-    filter is frozen at planning time."""
+    filter is frozen at planning time.
+
+    With `accum_ids` (the accumulator's sorted id array) and `out_cap`,
+    the beta-accumulate union structure is precomputed as well — the
+    matching ``spgemm(..., plan=..., accum=...)`` call must use the same
+    `out_cap` and an accumulator with exactly these ids."""
+    sym = spgemm_symbolic(
+        a, b, pair_cap, tau=tau, filter_by_norm=filter_by_norm,
+        syrk_upper=syrk_upper,
+    )
+    if accum_ids is None:
+        return SymbolicPlan(*sym)
+    if out_cap is None:
+        raise ValueError("make_plan(accum_ids=...) requires out_cap")
+    acc_ids = jnp.where(
+        accum_ids != SENTINEL, accum_ids, SENTINEL
+    ).astype(jnp.int32)
+    out_ids, seg, pos_acc, n_unique = _union_merge(
+        sym[2], acc_ids, out_cap
+    )
     return SymbolicPlan(
-        *spgemm_symbolic(
-            a, b, pair_cap, tau=tau, filter_by_norm=filter_by_norm,
-            syrk_upper=syrk_upper,
-        )
+        *sym, out_ids=out_ids, seg=seg, pos_acc=pos_acc, n_unique=n_unique
     )
 
 
@@ -432,42 +501,26 @@ def spgemm(
             raise ValueError("accum shape mismatch")
         if accum.block_size != a.block_size:
             raise ValueError("accum block_size mismatch")
-        # Output structure = union(product support, accum support):
-        # sort the pair c_ids together with accum's ids (int32 only; the
-        # block data never moves through this).
-        acc_ids = jnp.where(
-            accum.valid_mask(), accum.ids, SENTINEL
-        ).astype(jnp.int32)
-        uni = jnp.sort(jnp.concatenate([c_id, acc_ids]))
-        firstu = jnp.concatenate(
-            [jnp.ones((1,), bool), uni[1:] != uni[:-1]]
-        )
-        validu = uni != SENTINEL
-        slotu = jnp.where(
-            validu, jnp.cumsum(firstu & validu) - 1, out_cap
-        )
-        out_ids_pre = (
-            jnp.full((out_cap,), SENTINEL, jnp.int32)
-            .at[slotu]
-            .set(uni, mode="drop")
-        )
-        n_unique = jnp.sum(firstu & validu).astype(jnp.int32)
-        # Pair/accum rows -> union slots (SENTINEL tail sorts last, so
-        # positions of valid ids are < n_unique).
-        seg = jnp.where(
-            valid_p,
-            jnp.searchsorted(
-                out_ids_pre, c_id, side="left", method="sort"
-            ).astype(jnp.int32),
-            out_cap,
-        )
-        pos_acc = jnp.where(
-            acc_ids != SENTINEL,
-            jnp.searchsorted(
-                out_ids_pre, acc_ids, side="left", method="sort"
-            ).astype(jnp.int32),
-            out_cap,
-        )
+        if plan is not None and plan.out_ids is not None:
+            # Precomputed union structure (make_plan(accum_ids=...)):
+            # valid only for an accumulator with the planned ids.
+            if plan.out_ids.shape[0] != out_cap:
+                raise ValueError(
+                    f"plan union built for out_cap="
+                    f"{plan.out_ids.shape[0]}, got {out_cap}"
+                )
+            out_ids_pre, seg = plan.out_ids, plan.seg
+            pos_acc, n_unique = plan.pos_acc, plan.n_unique
+        else:
+            # Output structure = union(product support, accum support):
+            # sort the pair c_ids together with accum's ids (int32 only;
+            # the block data never moves through this).
+            acc_ids = jnp.where(
+                accum.valid_mask(), accum.ids, SENTINEL
+            ).astype(jnp.int32)
+            out_ids_pre, seg, pos_acc, n_unique = _union_merge(
+                c_id, acc_ids, out_cap
+            )
     on_tpu = jax.default_backend() == "tpu"
     if backend == "auto":
         from hierarchical_block_sparse_lib_tpu.kernels import (

@@ -225,3 +225,45 @@ def test_profile_purify_tight_caps_identical_trajectory():
     # Margin loosens every cap.
     prof2 = profile_purify(X, 3, tau=tau, target_trace=nocc, margin=1.5)
     assert prof2.pair_cap >= int(np.ceil(max(prof2.per_step_pairs) * 1.5) - 1)
+
+
+def test_plan_purify_identical_and_mismatch_flagged():
+    """Planned purification (`plan_purify` + `purify_scan(plans=)`):
+    bit-identical to the unplanned scan; a stale plan (input structure
+    diverged from the planned trajectory) is reported per step in
+    `stats.plan_mismatch`, never silent."""
+    from hierarchical_block_sparse_lib_tpu.models.purification import (
+        plan_purify, profile_purify, purify_scan,
+    )
+
+    n, b = 128, 16
+    nocc = 40
+    _, x0 = _hamiltonian(n, b)
+    X = hbsm.from_dense(x0, block_size=b)
+    n_steps, tau = 8, 1e-8
+    prof = profile_purify(X, n_steps, tau=tau, target_trace=nocc)
+    plans = plan_purify(X, n_steps, tau, prof, target_trace=nocc)
+    assert plans.n_steps == n_steps
+
+    Xu, su = purify_scan(X, n_steps, tau=tau, target_trace=nocc,
+                         **prof.kwargs())
+    Xp, sp = purify_scan(X, n_steps, tau=tau, target_trace=nocc,
+                         plans=plans, **prof.kwargs())
+    np.testing.assert_array_equal(
+        np.asarray(hbsm.to_dense(Xp)), np.asarray(hbsm.to_dense(Xu))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sp.n_block_pairs), np.asarray(su.n_block_pairs)
+    )
+    assert not bool(np.asarray(sp.plan_mismatch).any())
+    assert not bool(np.asarray(su.plan_mismatch).any())
+
+    # Stale plan: perturb the input's structure -> flagged step 0.
+    x1 = x0.copy()
+    x1[:b, -b:] = 0.01
+    x1[-b:, :b] = 0.01
+    X1 = hbsm.from_dense((x1 + x1.T) / 2, block_size=b)
+    if int(X1.nnz) <= prof.cap:
+        _, sm = purify_scan(X1, n_steps, tau=tau, target_trace=nocc,
+                            plans=plans, **prof.kwargs())
+        assert bool(np.asarray(sm.plan_mismatch)[0])
