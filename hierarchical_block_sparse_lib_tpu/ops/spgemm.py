@@ -102,8 +102,18 @@ def spgemm_symbolic(
     # lowering costs log2(cap) gather passes (~200-300 us at cap~1k),
     # while the argsort-of-concatenation lowering is one fused sort
     # (~18 us measured) — 11-17x faster for every cap here.
-    lo = jnp.searchsorted(b_row, a_col, side="left", method="sort")
-    hi = jnp.searchsorted(b_row, a_col, side="right", method="sort")
+    # One row-start table (ONE sort over capB + nb_rows) then serves
+    # both range ends as gathers, instead of two sorted searchsorteds
+    # over capB + capA each.
+    b_row_start = jnp.searchsorted(
+        b_row,
+        jnp.arange(b.nb_rows + 1, dtype=jnp.int32),
+        side="left",
+        method="sort",
+    ).astype(jnp.int32)
+    # Padding rows carry the miss key nb_rows: lo == hi == end-of-valid.
+    lo = b_row_start[jnp.minimum(a_col, b.nb_rows)]
+    hi = b_row_start[jnp.minimum(a_col + 1, b.nb_rows)]
     cnt = jnp.where(a_valid, hi - lo, 0)
     offs = jnp.cumsum(cnt)
     total = offs[-1]
@@ -185,38 +195,36 @@ class SymbolicPlan:
 def _union_merge(c_id: jax.Array, acc_ids: jax.Array, out_cap: int):
     """Union structure of the (sorted, SENTINEL-padded) product c_ids
     with an accumulator's sorted ids: returns (out_ids_pre, seg,
-    pos_acc, n_unique) — the beta-accumulate bookkeeping of `spgemm`."""
-    valid_p = c_id != SENTINEL
-    uni = jnp.sort(jnp.concatenate([c_id, acc_ids]))
+    pos_acc, n_unique) — the beta-accumulate bookkeeping of `spgemm`.
+
+    ONE argsort: each input element's union slot comes back through the
+    inverse permutation (an int32 scatter), replacing the two extra
+    sorted-searchsorted passes (each a full sort on TPU) the original
+    slot lookup cost."""
+    both = jnp.concatenate([c_id, acc_ids])
+    order = jnp.argsort(both)
+    uni = both[order]
     firstu = jnp.concatenate(
         [jnp.ones((1,), bool), uni[1:] != uni[:-1]]
     )
     validu = uni != SENTINEL
     slotu = jnp.where(
         validu, jnp.cumsum(firstu & validu) - 1, out_cap
-    )
+    ).astype(jnp.int32)
     out_ids_pre = (
         jnp.full((out_cap,), SENTINEL, jnp.int32)
         .at[slotu]
         .set(uni, mode="drop")
     )
     n_unique = jnp.sum(firstu & validu).astype(jnp.int32)
-    # Pair/accum rows -> union slots (SENTINEL tail sorts last, so
-    # positions of valid ids are < n_unique).
-    seg = jnp.where(
-        valid_p,
-        jnp.searchsorted(
-            out_ids_pre, c_id, side="left", method="sort"
-        ).astype(jnp.int32),
-        out_cap,
+    # Inverse permutation: original element order[i] sits at sorted
+    # position i, so its union slot is slotu[i].  SENTINEL padding rows
+    # carry slot out_cap (dropped by the callers' mode="drop" scatters).
+    slot_orig = (
+        jnp.zeros((both.shape[0],), jnp.int32).at[order].set(slotu)
     )
-    pos_acc = jnp.where(
-        acc_ids != SENTINEL,
-        jnp.searchsorted(
-            out_ids_pre, acc_ids, side="left", method="sort"
-        ).astype(jnp.int32),
-        out_cap,
-    )
+    seg = slot_orig[: c_id.shape[0]]
+    pos_acc = slot_orig[c_id.shape[0]:]
     return out_ids_pre, seg, pos_acc, n_unique
 
 
