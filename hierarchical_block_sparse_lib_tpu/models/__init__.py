@@ -4,6 +4,7 @@
 from hierarchical_block_sparse_lib_tpu.models.purification import (
     CapacityProfile,
     PurificationStats,
+    PurifyEngine,
     PurifyPlans,
     plan_purify,
     profile_purify,
@@ -23,6 +24,7 @@ from hierarchical_block_sparse_lib_tpu.models.chebyshev import (
 __all__ = [
     "CapacityProfile",
     "PurificationStats",
+    "PurifyEngine",
     "PurifyPlans",
     "plan_purify",
     "profile_purify",

@@ -347,6 +347,110 @@ def purify(
     return x, stats
 
 
+class PurifyEngine:
+    """SCF-regime purification runner: profile + plan ONCE, reuse the
+    planned scan (zero per-step structural work) across cycles, and
+    automatically re-profile/re-plan when the iterate's structure drifts
+    off the planned trajectory or any capacity overflows.
+
+    The intended production loop (reference lineage: one purification
+    per SCF cycle, Hamiltonian support drifting slowly):
+
+        eng = PurifyEngine(n_steps=30, tau=1e-6, target_trace=n_occ)
+        for cycle in range(...):
+            D, stats = eng.run(F)   # F: this cycle's effective Hamiltonian
+
+    `run` costs one host roundtrip per cycle (the drift/overflow check);
+    replans are counted in `eng.n_replans`.  `margin` loosens the
+    profiled capacities so small support growth does not force a
+    replan-per-cycle.
+    """
+
+    def __init__(
+        self,
+        n_steps: int,
+        tau: float,
+        target_trace: float = 0.0,
+        backend: str = "auto",
+        margin: float = 1.25,
+    ):
+        self.n_steps = n_steps
+        self.tau = tau
+        self.target_trace = target_trace
+        self.backend = backend
+        self.margin = margin
+        self.prof: CapacityProfile | None = None
+        self.plans: PurifyPlans | None = None
+        self.n_replans = 0
+
+    def _replan(self, x: BlockMatrix) -> None:
+        self.prof = profile_purify(
+            x,
+            self.n_steps,
+            self.tau,
+            target_trace=self.target_trace,
+            backend=self.backend,
+            margin=self.margin,
+        )
+        # Pow2-bucket the envelope so nearby structures land on the same
+        # compiled scan (margin already loosened the caps).
+        self.prof = CapacityProfile(
+            pair_cap=_next_pow2(self.prof.pair_cap),
+            out_cap=_next_pow2(self.prof.out_cap),
+            cap=_next_pow2(self.prof.cap),
+            row_caps=tuple(_next_pow2(r) for r in self.prof.row_caps),
+            per_step_pairs=self.prof.per_step_pairs,
+            per_step_out=self.prof.per_step_out,
+            per_step_kept=self.prof.per_step_kept,
+        )
+        self.plans = plan_purify(
+            x,
+            self.n_steps,
+            self.tau,
+            self.prof,
+            target_trace=self.target_trace,
+            backend=self.backend,
+        )
+        self.n_replans += 1
+
+    @staticmethod
+    def _bad(stats: PurificationStats) -> bool:
+        import numpy as np
+
+        return bool(
+            np.asarray(
+                stats.plan_mismatch
+                | stats.pair_overflow
+                | stats.out_overflow
+                | stats.repack_overflow
+            ).any()
+        )
+
+    def run(self, x: BlockMatrix):
+        """One purification at the cached plan; replans and reruns when
+        the structure drifted.  Returns (X_final, stacked stats)."""
+        if self.plans is None or int(x.nnz) > self.prof.cap:
+            self._replan(x)
+        kw = dict(
+            target_trace=self.target_trace,
+            backend=self.backend,
+            plans=self.plans,
+            **self.prof.kwargs(),
+        )
+        xf, stats = purify_scan(x, self.n_steps, self.tau, **kw)
+        if self._bad(stats):
+            self._replan(x)
+            kw["plans"] = self.plans
+            kw.update(self.prof.kwargs())
+            xf, stats = purify_scan(x, self.n_steps, self.tau, **kw)
+            if self._bad(stats):  # genuinely infeasible caps -> loud
+                raise RuntimeError(
+                    "PurifyEngine: overflow/mismatch persists after a "
+                    "fresh replan — inspect stats/profile"
+                )
+        return xf, stats
+
+
 def _next_pow2(n: int) -> int:
     return 1 << max(0, int(n) - 1).bit_length()
 

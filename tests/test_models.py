@@ -267,3 +267,47 @@ def test_plan_purify_identical_and_mismatch_flagged():
         _, sm = purify_scan(X1, n_steps, tau=tau, target_trace=nocc,
                             plans=plans, **prof.kwargs())
         assert bool(np.asarray(sm.plan_mismatch)[0])
+
+
+def test_purify_engine_scf_cycles_with_drift():
+    """PurifyEngine: plans once, reuses across cycles with identical
+    structure, auto-replans on structural drift — every cycle's result
+    matches the unplanned oracle scan exactly."""
+    from hierarchical_block_sparse_lib_tpu.models.purification import (
+        PurifyEngine, profile_purify, purify_scan,
+    )
+
+    n, b = 128, 16
+    nocc = 40
+    _, x0 = _hamiltonian(n, b)
+    n_steps, tau = 6, 1e-8
+    eng = PurifyEngine(n_steps, tau, target_trace=nocc)
+
+    def oracle(X):
+        prof = profile_purify(X, n_steps, tau=tau, target_trace=nocc)
+        return purify_scan(X, n_steps, tau=tau, target_trace=nocc,
+                           **prof.kwargs())[0]
+
+    # Cycle 1-2: same structure, small data drift -> one plan, reused.
+    X = hbsm.from_dense(x0, block_size=b)
+    D1, s1 = eng.run(X)
+    assert eng.n_replans == 1
+    x0b = x0 * (1 + 1e-4)  # scale keeps every truncation decision
+    Xb = hbsm.from_dense(x0b, block_size=b)
+    D2, s2 = eng.run(Xb)
+    assert eng.n_replans == 1  # reused without replanning
+    np.testing.assert_array_equal(
+        np.asarray(hbsm.to_dense(D2)), np.asarray(hbsm.to_dense(oracle(Xb)))
+    )
+
+    # Cycle 3: structural drift (new off-band coupling) -> auto-replan.
+    x1 = x0.copy()
+    x1[:b, -b:] = 0.02
+    x1[-b:, :b] = 0.02
+    X1 = hbsm.from_dense((x1 + x1.T) / 2, block_size=b)
+    D3, s3 = eng.run(X1)
+    assert eng.n_replans == 2
+    assert not bool(np.asarray(s3.plan_mismatch).any())
+    np.testing.assert_array_equal(
+        np.asarray(hbsm.to_dense(D3)), np.asarray(hbsm.to_dense(oracle(X1)))
+    )
