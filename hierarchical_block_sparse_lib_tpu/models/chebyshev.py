@@ -67,21 +67,22 @@ def chebyshev_apply(
     )
     total = jnp.zeros((), jnp.int32)
     for k in range(2, len(coeffs)):
-        ht, info = spgemm(
+        # T_{k+1} = 2 H T_k - T_{k-1} in ONE structural pass: the
+        # recurrence subtraction rides spgemm's fused beta-accumulate
+        # (union support at out_cap; a union overflow is reported via
+        # info.out_overflow, covering the old post-add drop check).
+        t_nxt, info = spgemm(
             h, t_cur, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
-            row_caps=row_caps,
+            row_caps=row_caps, accum=t_prev, alpha=2.0, beta=-1.0,
         )
-        t_nxt = basic.add(ht, t_prev, alpha=2.0, beta=-1.0)
-        # Fused truncate+repack: one compaction pass straight into out_cap.
-        t_nxt, nnz_kept = truncate(t_nxt, tau, cap=out_cap)
+        t_nxt = truncate(t_nxt, tau)
         f_acc, acc_ovf = basic.add_with_info(
             f_acc, t_nxt, beta=float(coeffs[k]), cap=out_cap
         )
         ovf = ovf | acc_ovf
         total = total + info.n_block_pairs
         ovf = (
-            ovf | info.pair_overflow | info.out_overflow
-            | info.row_overflow | (nnz_kept > out_cap)
+            ovf | info.pair_overflow | info.out_overflow | info.row_overflow
         )
         t_prev, t_cur = t_cur, t_nxt
     return f_acc, total, ovf

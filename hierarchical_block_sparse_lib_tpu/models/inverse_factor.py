@@ -67,28 +67,23 @@ def inv_sqrt_newton_schulz(
             z, s, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
             row_caps=row_caps,
         )
-        zyz, i2 = spgemm(
+        # T = 1.5 I - 0.5 ZYZ in ONE structural pass via the fused
+        # beta-accumulate (union support at out_cap; a union overflow —
+        # the identity pushing the support past out_cap — is reported
+        # via i2.out_overflow, ADVICE.md r1 medium).
+        t, i2 = spgemm(
             zy, z, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
-            row_caps=row_caps,
+            row_caps=row_caps, alpha=-0.5,
+            accum=eye(n, b, dtype=s.dtype, cap=ident_cap), beta=1.5,
         )
-        # T = (3I - ZYZ)/2 ; Z <- Z T.  add_with_info at cap=out_cap: the
-        # identity union can push the support past out_cap — report the
-        # drop (ADVICE.md r1 medium).
-        t, t_ovf = basic.add_with_info(
-            eye(n, b, dtype=s.dtype, cap=ident_cap), zyz,
-            alpha=1.5, beta=-0.5, cap=out_cap,
-        )
-        ovf = ovf | t_ovf
         z2, i3 = spgemm(
             z, t, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
             row_caps=row_caps,
         )
-        # Fused truncate+repack: one compaction pass straight into out_cap.
-        z2, nnz_kept = truncate(z2, tau, cap=out_cap)
+        z2 = truncate(z2, tau)
         total = total + i1.n_block_pairs + i2.n_block_pairs + i3.n_block_pairs
         for i in (i1, i2, i3):
             ovf = ovf | i.pair_overflow | i.out_overflow | i.row_overflow
-        ovf = ovf | (nnz_kept > out_cap)
         return (z2, total, ovf), None
 
     (z, total, ovf), _ = jax.lax.scan(

@@ -38,16 +38,17 @@ def polynomial(
     total_pairs = jnp.zeros((), jnp.int32)
     overflow = jnp.zeros((), bool)
     for c in reversed(coeffs[:-1]):
-        acc, info = spgemm(acc, a, pair_cap=pair_cap, out_cap=out_cap, backend=backend)
+        # Horner step acc <- acc@A + c*I in ONE structural pass via the
+        # fused beta-accumulate; a union overflow (support past out_cap,
+        # previously a silent repack drop) is reported via out_overflow.
+        acc, info = spgemm(
+            acc, a, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
+            accum=ident, beta=c,
+        )
         total_pairs = total_pairs + info.n_block_pairs
         overflow = (
             overflow | info.pair_overflow | info.out_overflow
             | info.row_overflow
         )
-        acc = basic.add(acc, basic.scale(ident, c))
-        # Fused truncate+repack (and the kept count it returns closes a
-        # silent-drop hole: the old separate repack never reported when
-        # the truncated support still exceeded out_cap).
-        acc, kept = truncate(acc, tau, cap=out_cap)
-        overflow = overflow | (kept > out_cap)
+        acc = truncate(acc, tau)
     return acc, total_pairs, overflow
