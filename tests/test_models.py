@@ -269,6 +269,40 @@ def test_plan_purify_identical_and_mismatch_flagged():
         assert bool(np.asarray(sm.plan_mismatch)[0])
 
 
+def test_planned_scan_lowers_sort_free():
+    """The planned purification scan must contain ZERO sort ops — the
+    whole point of plan_purify is that per-step structural work
+    (symbolic sorts, union merges) is precomputed.  Lowering-only check
+    (no execution), guarding the optimization against regressions."""
+    import functools
+
+    import jax
+
+    from hierarchical_block_sparse_lib_tpu.models.purification import (
+        plan_purify, profile_purify, purify_scan,
+    )
+
+    n, b = 128, 16
+    nocc = 40
+    _, x0 = _hamiltonian(n, b)
+    X = hbsm.from_dense(x0, block_size=b)
+    n_steps, tau = 4, 1e-8
+    prof = profile_purify(X, n_steps, tau=tau, target_trace=nocc)
+    plans = plan_purify(X, n_steps, tau, prof, target_trace=nocc)
+
+    def lower(**kw):
+        f = functools.partial(
+            purify_scan, n_steps=n_steps, tau=tau, target_trace=nocc,
+            **prof.kwargs(), **kw,
+        )
+        return jax.jit(lambda x: f(x)).lower(X).as_text()
+
+    n_sort_planned = lower(plans=plans).count("stablehlo.sort")
+    n_sort_unplanned = lower().count("stablehlo.sort")
+    assert n_sort_planned == 0, n_sort_planned
+    assert n_sort_unplanned > 0  # sanity: the baseline does sort
+
+
 def test_purify_engine_scf_cycles_with_drift():
     """PurifyEngine: plans once, reuses across cycles with identical
     structure, auto-replans on structural drift — every cycle's result
