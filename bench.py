@@ -162,6 +162,26 @@ def bench_spgemm(A, name, Ks=(5, 25), precision="highest", leaf=None):
         name=name, pairs=int(pc), out=int(oc), time_s=dt,
         eff_gflops=eff_gflops, pairs_per_s=pairs_per_s,
     )
+
+    # Fixed-structure regime: frozen symbolic plan (make_plan), numeric
+    # phase only — the iterated-application cost (stencils, SCF).
+    import jax
+    plan = jax.block_until_ready(hbsm.make_plan(A, A, pc))
+
+    def build_planned(d):
+        m = dataclasses.replace(A, data=d)
+        C, _ = hbsm.spgemm(
+            m, m, pair_cap=pc, out_cap=oc, row_caps=(mbr, mcr),
+            group_caps=gcaps, precision=precision, plan=plan,
+        )
+        return C.data
+
+    dtp = bench_chained(build_planned, A.data, Ks)
+    log(
+        f"{name} planned (frozen symbolic): t={dtp*1e3:.2f} ms "
+        f"eff={2*b**3*pc/dtp/1e9:.1f} GFLOP/s ({dt/dtp:.2f}x)"
+    )
+    res["time_planned_s"] = dtp
     if leaf is not None:
         b_fine, fine_pairs, occ = leaf
         # Library-path cross-check (untimed): the occupancy-tracked
