@@ -41,8 +41,11 @@ from hierarchical_block_sparse_lib_tpu.core.assembly import (
     eye,
 )
 from hierarchical_block_sparse_lib_tpu.ops.basic import (
+    AddPlan,
     add,
+    add_planned,
     add_with_info,
+    make_add_plan,
     scale,
     transpose,
     filter_blocks,
@@ -92,7 +95,10 @@ __all__ = [
     "empty",
     "eye",
     "add",
+    "AddPlan",
+    "add_planned",
     "add_with_info",
+    "make_add_plan",
     "scale",
     "transpose",
     "frob_squared",

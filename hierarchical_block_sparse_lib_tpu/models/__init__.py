@@ -17,8 +17,10 @@ from hierarchical_block_sparse_lib_tpu.models.inverse_factor import (
     inv_sqrt_newton_schulz,
 )
 from hierarchical_block_sparse_lib_tpu.models.chebyshev import (
+    ChebPlans,
     chebyshev_apply,
     chebyshev_coeffs,
+    plan_chebyshev,
 )
 
 __all__ = [
@@ -33,6 +35,8 @@ __all__ = [
     "sp2_step",
     "polynomial",
     "inv_sqrt_newton_schulz",
+    "ChebPlans",
     "chebyshev_apply",
     "chebyshev_coeffs",
+    "plan_chebyshev",
 ]

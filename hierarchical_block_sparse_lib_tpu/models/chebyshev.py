@@ -18,10 +18,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from dataclasses import dataclass
+
 from hierarchical_block_sparse_lib_tpu.core.block_matrix import BlockMatrix
 from hierarchical_block_sparse_lib_tpu.core.assembly import eye
 from hierarchical_block_sparse_lib_tpu.ops import basic, repack as repack_mod
-from hierarchical_block_sparse_lib_tpu.ops.spgemm import spgemm
+from hierarchical_block_sparse_lib_tpu.ops.spgemm import make_plan, spgemm
 from hierarchical_block_sparse_lib_tpu.ops.truncate import truncate
 
 
@@ -38,6 +40,45 @@ def chebyshev_coeffs(f, order: int, n_samples: int = 256) -> np.ndarray:
     return c
 
 
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ChebPlans:
+    """Per-term structural plans for a fixed Chebyshev trajectory
+    (`plan_chebyshev`): the recurrence multiply's symbolic+union plan,
+    the accumulator add's union plan, and the expected iterate /
+    accumulator ids for the never-silent drift check.  The trajectory's
+    structure depends only on (H, tau, n_terms) — the coefficients just
+    scale data — so one walk serves any coefficient vector of the same
+    length."""
+
+    mul_plans: tuple  # tuple[SymbolicPlan], one per term k >= 2
+    add_plans: tuple  # tuple[basic.AddPlan]
+    exp_t: tuple  # tuple[int32[out_cap]] expected t_cur ids
+    exp_f: tuple  # tuple[int32[out_cap]] expected f_acc ids
+
+
+def plan_chebyshev(
+    h: BlockMatrix,
+    n_terms: int,
+    tau: float,
+    pair_cap: int,
+    out_cap: int,
+    backend: str = "auto",
+    row_caps: tuple | None = None,
+) -> ChebPlans:
+    """Walk the Chebyshev recurrence once and capture every term's
+    structural plans for ``chebyshev_apply(..., plans=...)`` — each
+    subsequent application (new coefficient vectors, SCF-style data
+    drift with frozen structure) then runs zero structural work outside
+    truncation."""
+    coeffs = np.zeros(n_terms)  # values are irrelevant to structure
+    _, _, _, plans = _cheb_loop(
+        h, coeffs, tau, pair_cap, out_cap, backend, row_caps,
+        plans=None, capture=True,
+    )
+    return plans
+
+
 def chebyshev_apply(
     h: BlockMatrix,
     coeffs,
@@ -46,11 +87,36 @@ def chebyshev_apply(
     out_cap: int,
     backend: str = "auto",
     row_caps: tuple | None = None,
+    plans: ChebPlans | None = None,
 ):
     """F = sum_k coeffs[k] * T_k(H), H pre-scaled to spectrum in [-1,1].
 
     Truncates each T_k to `tau` before it enters the recurrence.
-    Returns (F, total_block_pairs, overflow)."""
+    Returns (F, total_block_pairs, overflow).
+
+    `plans` (from `plan_chebyshev` at the same caps/tau) freezes every
+    term's symbolic, union and add structure; divergence from the
+    planned trajectory is folded into the returned overflow flag."""
+    f_acc, total, ovf, _ = _cheb_loop(
+        h, coeffs, tau, pair_cap, out_cap, backend, row_caps,
+        plans=plans, capture=False,
+    )
+    return f_acc, total, ovf
+
+
+def _cheb_loop(
+    h: BlockMatrix,
+    coeffs,
+    tau,
+    pair_cap: int,
+    out_cap: int,
+    backend: str,
+    row_caps: tuple | None,
+    plans: ChebPlans | None,
+    capture: bool,
+):
+    """Shared recurrence driver: runs the expansion, optionally against
+    precomputed plans (`plans`) or capturing them (`capture`)."""
     n, b = h.n_rows, h.block_size
     coeffs = np.asarray(coeffs, np.float64)
     ident = eye(n, b, dtype=h.dtype, cap=-(-n // b))
@@ -66,7 +132,24 @@ def chebyshev_apply(
         cap=out_cap,
     )
     total = jnp.zeros((), jnp.int32)
+    mul_plans, add_plans, exp_t, exp_f = [], [], [], []
     for k in range(2, len(coeffs)):
+        if capture:
+            mp = make_plan(
+                h, t_cur, pair_cap, accum_ids=t_prev.ids, out_cap=out_cap,
+            )
+            mul_plans.append(mp)
+            exp_t.append(t_cur.ids)
+            exp_f.append(f_acc.ids)
+        mp = mul_plans[-1] if capture else (
+            plans.mul_plans[k - 2] if plans is not None else None
+        )
+        if plans is not None:
+            ovf = (
+                ovf
+                | jnp.any(t_cur.ids != plans.exp_t[k - 2])
+                | jnp.any(f_acc.ids != plans.exp_f[k - 2])
+            )
         # T_{k+1} = 2 H T_k - T_{k-1} in ONE structural pass: the
         # recurrence subtraction rides spgemm's fused beta-accumulate
         # (union support at out_cap; a union overflow is reported via
@@ -74,15 +157,37 @@ def chebyshev_apply(
         t_nxt, info = spgemm(
             h, t_cur, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
             row_caps=row_caps, accum=t_prev, alpha=2.0, beta=-1.0,
+            plan=mp,
         )
         t_nxt = truncate(t_nxt, tau)
-        f_acc, acc_ovf = basic.add_with_info(
-            f_acc, t_nxt, beta=float(coeffs[k]), cap=out_cap
+        if capture:
+            ap = basic.make_add_plan(f_acc.ids, t_nxt.ids, out_cap)
+            add_plans.append(ap)
+        ap = add_plans[-1] if capture else (
+            plans.add_plans[k - 2] if plans is not None else None
         )
+        if ap is not None:
+            f_acc, acc_ovf = basic.add_planned(
+                f_acc, t_nxt, ap, beta=float(coeffs[k])
+            )
+        else:
+            f_acc, acc_ovf = basic.add_with_info(
+                f_acc, t_nxt, beta=float(coeffs[k]), cap=out_cap
+            )
         ovf = ovf | acc_ovf
         total = total + info.n_block_pairs
         ovf = (
             ovf | info.pair_overflow | info.out_overflow | info.row_overflow
         )
         t_prev, t_cur = t_cur, t_nxt
-    return f_acc, total, ovf
+    cp = (
+        ChebPlans(
+            mul_plans=tuple(mul_plans),
+            add_plans=tuple(add_plans),
+            exp_t=tuple(exp_t),
+            exp_f=tuple(exp_f),
+        )
+        if capture
+        else None
+    )
+    return f_acc, total, ovf, cp

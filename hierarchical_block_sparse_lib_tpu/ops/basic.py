@@ -66,6 +66,82 @@ def add(
     return add_with_info(a, b, alpha=alpha, beta=beta, cap=cap)[0]
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AddPlan:
+    """Precomputed union structure for `add_planned`: valid while both
+    operands keep exactly the id arrays it was built from (data may
+    change freely — the fixed-structure iteration regime).  The add then
+    costs ONE scatter-add of the block data: no sort, no id pass."""
+
+    out_ids: jax.Array  # int32[cap] union ids, sorted, SENTINEL padded
+    slot_in: jax.Array  # int32[capA+capB] input row -> union slot
+    nnz: jax.Array  # int32[] union size (pre-clamp: > cap means dropped)
+
+
+def make_add_plan(
+    a_ids: jax.Array, b_ids: jax.Array, cap: int
+) -> AddPlan:
+    """Union-structure plan for ``add_planned`` (one argsort, device)."""
+    ids = jnp.concatenate([a_ids, b_ids])
+    order = jnp.argsort(ids)
+    ids_s = ids[order]
+    valid = ids_s != SENTINEL
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]]
+    )
+    slot = (jnp.cumsum(first & valid) - 1).astype(jnp.int32)
+    slot = jnp.where(valid, slot, cap)
+    out_ids = (
+        jnp.full((cap,), SENTINEL, jnp.int32)
+        .at[slot]
+        .set(ids_s, mode="drop")
+    )
+    slot_in = (
+        jnp.zeros((ids.shape[0],), jnp.int32).at[order].set(slot)
+    )
+    nnz = jnp.sum(first & valid).astype(jnp.int32)
+    return AddPlan(out_ids=out_ids, slot_in=slot_in, nnz=nnz)
+
+
+def add_planned(
+    a: BlockMatrix,
+    b: BlockMatrix,
+    plan: AddPlan,
+    alpha: float | jax.Array = 1.0,
+    beta: float | jax.Array = 1.0,
+):
+    """C = alpha*A + beta*B at a precomputed union structure
+    (`make_add_plan` on these operands' exact ids).  Returns
+    (C, overflow); one data scatter-add, zero structural work."""
+    cap = plan.out_ids.shape[0]
+    if plan.slot_in.shape[0] != a.cap + b.cap:
+        raise ValueError(
+            f"plan built for capA+capB={plan.slot_in.shape[0]}, "
+            f"got {a.cap}+{b.cap}"
+        )
+    data = jnp.concatenate(
+        [
+            a.data * jnp.asarray(alpha, a.dtype),
+            b.data * jnp.asarray(beta, b.dtype),
+        ]
+    )
+    out_data = (
+        jnp.zeros((cap,) + a.data.shape[1:], a.dtype)
+        .at[plan.slot_in]
+        .add(data, mode="drop")
+    )
+    c = BlockMatrix(
+        ids=plan.out_ids,
+        data=out_data,
+        nnz=jnp.minimum(plan.nnz, cap),
+        n_rows=a.n_rows,
+        n_cols=a.n_cols,
+        block_size=a.block_size,
+    )
+    return c, plan.nnz > cap
+
+
 def scale(a: BlockMatrix, alpha) -> BlockMatrix:
     """A <- alpha * A (reference ``rescale``, SURVEY.md C7).  Structure is
     preserved (even for alpha == 0, matching explicit-zero semantics)."""

@@ -182,6 +182,60 @@ def test_chebyshev_fermi_expansion():
     assert np.abs(got - want).max() < 1e-4
 
 
+def test_chebyshev_planned_identical_and_drift_flagged():
+    """plan_chebyshev + chebyshev_apply(plans=): bit-identical to the
+    unplanned expansion (for any coefficient vector of the planned
+    length), structural drift folded into the overflow flag."""
+    from hierarchical_block_sparse_lib_tpu.models.chebyshev import (
+        chebyshev_apply, chebyshev_coeffs, plan_chebyshev,
+    )
+
+    n, b = 96, 16
+    rng = np.random.default_rng(6)
+    m = np.zeros((n, n), np.float32)
+    for k in range(0, 4):
+        v = rng.standard_normal(n - k).astype(np.float32) * 0.1
+        m += np.diag(v, k) + (np.diag(v, -k) if k else 0)
+    H_d = ((m + m.T) / 2).astype(np.float64)
+    bound = np.abs(H_d).sum(axis=1).max() * 1.05
+    H = hbsm.from_dense((H_d / bound).astype(np.float32), block_size=b)
+    nb = n // b
+    pc, oc = nb**3, nb * nb
+    tau = 1e-7
+    c = chebyshev_coeffs(lambda x: 1.0 / (1.0 + np.exp(6.0 * x)), order=12)
+
+    plans = plan_chebyshev(H, len(c), tau, pair_cap=pc, out_cap=oc)
+    F0, t0, o0 = chebyshev_apply(H, c, tau, pair_cap=pc, out_cap=oc)
+    F1, t1, o1 = chebyshev_apply(
+        H, c, tau, pair_cap=pc, out_cap=oc, plans=plans
+    )
+    assert not bool(o0) and not bool(o1)
+    assert int(t0) == int(t1)
+    np.testing.assert_array_equal(
+        np.asarray(hbsm.to_dense(F1)), np.asarray(hbsm.to_dense(F0))
+    )
+    # A different coefficient vector reuses the same plans (structure
+    # depends only on H/tau/length).
+    c2 = chebyshev_coeffs(lambda x: np.exp(-3 * x * x), order=12)
+    F2, _, o2 = chebyshev_apply(
+        H, c2, tau, pair_cap=pc, out_cap=oc, plans=plans
+    )
+    F2u, _, _ = chebyshev_apply(H, c2, tau, pair_cap=pc, out_cap=oc)
+    assert not bool(o2)
+    np.testing.assert_array_equal(
+        np.asarray(hbsm.to_dense(F2)), np.asarray(hbsm.to_dense(F2u))
+    )
+    # Structural drift is folded into the overflow flag.
+    d3 = np.asarray(H_d / bound, np.float32).copy()
+    d3[:b, -b:] = 0.02
+    d3[-b:, :b] = 0.02
+    H3 = hbsm.from_dense((d3 + d3.T) / 2, block_size=b)
+    _, _, o3 = chebyshev_apply(
+        H3, c, tau, pair_cap=pc, out_cap=oc, plans=plans
+    )
+    assert bool(o3)
+
+
 def test_profile_purify_tight_caps_identical_trajectory():
     """profile_purify returns tight caps; purify_scan at those caps
     reproduces the loose-cap run exactly (caps only affect overflow)."""
