@@ -14,7 +14,9 @@ from hierarchical_block_sparse_lib_tpu.models.purification import (
 )
 from hierarchical_block_sparse_lib_tpu.models.polynomial import polynomial
 from hierarchical_block_sparse_lib_tpu.models.inverse_factor import (
+    NSPlans,
     inv_sqrt_newton_schulz,
+    plan_inv_sqrt,
 )
 from hierarchical_block_sparse_lib_tpu.models.chebyshev import (
     ChebPlans,
@@ -34,7 +36,9 @@ __all__ = [
     "purify_scan",
     "sp2_step",
     "polynomial",
+    "NSPlans",
     "inv_sqrt_newton_schulz",
+    "plan_inv_sqrt",
     "ChebPlans",
     "chebyshev_apply",
     "chebyshev_coeffs",

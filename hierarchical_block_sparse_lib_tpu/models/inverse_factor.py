@@ -27,8 +27,76 @@ import jax.numpy as jnp
 from hierarchical_block_sparse_lib_tpu.core.block_matrix import BlockMatrix
 from hierarchical_block_sparse_lib_tpu.core.assembly import eye
 from hierarchical_block_sparse_lib_tpu.ops import basic
-from hierarchical_block_sparse_lib_tpu.ops.spgemm import spgemm
+from dataclasses import dataclass
+
+from hierarchical_block_sparse_lib_tpu.ops.spgemm import make_plan, spgemm
 from hierarchical_block_sparse_lib_tpu.ops.truncate import truncate
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class NSPlans:
+    """Per-step structural plans for a fixed Newton-Schulz trajectory
+    (`plan_inv_sqrt`): the three multiplies' symbolic(+union) plans and
+    the expected per-step iterate ids, every field stacked over a
+    leading [n_steps] axis.  Feed to
+    ``inv_sqrt_newton_schulz(..., plans=...)`` — drift off the planned
+    trajectory is folded into the returned overflow flag."""
+
+    p_zy: object  # SymbolicPlan, stacked
+    p_t: object  # SymbolicPlan with union fields, stacked
+    p_z2: object  # SymbolicPlan, stacked
+    exp_z: jax.Array  # int32[n_steps, out_cap]
+
+
+def plan_inv_sqrt(
+    s: BlockMatrix,
+    theta: float,
+    n_steps: int,
+    tau: float,
+    pair_cap: int,
+    out_cap: int,
+    backend: str = "auto",
+    row_caps: tuple | None = None,
+) -> NSPlans:
+    """Walk the Newton-Schulz iteration once eagerly (bit-identical ops
+    at the same caps) and capture every step's structural plans."""
+    n, b = s.n_rows, s.block_size
+    ident_cap = -(-n // b)
+    ident = eye(n, b, dtype=s.dtype, cap=ident_cap)
+    z = basic.scale(
+        eye(n, b, dtype=s.dtype, cap=out_cap),
+        1.0 / jnp.sqrt(jnp.asarray(theta, jnp.float32)).astype(s.dtype),
+    )
+    p_zy, p_t, p_z2, exp_z = [], [], [], []
+    for _ in range(n_steps):
+        exp_z.append(z.ids)
+        pz = make_plan(z, s, pair_cap)
+        zy, _ = spgemm(
+            z, s, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
+            row_caps=row_caps, plan=pz,
+        )
+        pt = make_plan(
+            zy, z, pair_cap, accum_ids=ident.ids, out_cap=out_cap
+        )
+        t, _ = spgemm(
+            zy, z, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
+            row_caps=row_caps, alpha=-0.5, accum=ident, beta=1.5, plan=pt,
+        )
+        p2 = make_plan(z, t, pair_cap)
+        z2, _ = spgemm(
+            z, t, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
+            row_caps=row_caps, plan=p2,
+        )
+        z = truncate(z2, tau)
+        p_zy.append(pz)
+        p_t.append(pt)
+        p_z2.append(p2)
+    stack = lambda ps: jax.tree.map(lambda *v: jnp.stack(v), *ps)  # noqa: E731
+    return NSPlans(
+        p_zy=stack(p_zy), p_t=stack(p_t), p_z2=stack(p_z2),
+        exp_z=jnp.stack(exp_z),
+    )
 
 
 @partial(
@@ -44,12 +112,18 @@ def inv_sqrt_newton_schulz(
     out_cap: int,
     backend: str = "auto",
     row_caps: tuple | None = None,
+    plans: NSPlans | None = None,
 ):
     """Z ~= S^{-1/2} by Newton-Schulz with per-step truncation.
 
     `theta` must satisfy theta > ||S||_2 / sqrt(3) for convergence of
     Z_0 = I/sqrt(theta) (any upper bound on ||S||_2 works; e.g. a
     Frobenius norm).  Returns (Z, total_block_pairs, overflow).
+
+    `plans` (from `plan_inv_sqrt` at the same caps) freezes every step's
+    symbolic/union structure — the scan then runs only numeric work and
+    truncation; drift off the planned trajectory is folded into the
+    overflow flag.
     """
     n = s.n_rows
     b = s.block_size
@@ -61,11 +135,14 @@ def inv_sqrt_newton_schulz(
     total = jnp.zeros((), jnp.int32)
     ovf = jnp.zeros((), bool)
 
-    def step(carry, _):
+    def step(carry, xs):
         z, total, ovf = carry
+        pz, pt, p2, ez = xs if xs is not None else (None,) * 4
+        if xs is not None:
+            ovf = ovf | jnp.any(z.ids != ez)
         zy, i1 = spgemm(
             z, s, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
-            row_caps=row_caps,
+            row_caps=row_caps, plan=pz,
         )
         # T = 1.5 I - 0.5 ZYZ in ONE structural pass via the fused
         # beta-accumulate (union support at out_cap; a union overflow —
@@ -75,10 +152,11 @@ def inv_sqrt_newton_schulz(
             zy, z, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
             row_caps=row_caps, alpha=-0.5,
             accum=eye(n, b, dtype=s.dtype, cap=ident_cap), beta=1.5,
+            plan=pt,
         )
         z2, i3 = spgemm(
             z, t, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
-            row_caps=row_caps,
+            row_caps=row_caps, plan=p2,
         )
         z2 = truncate(z2, tau)
         total = total + i1.n_block_pairs + i2.n_block_pairs + i3.n_block_pairs
@@ -86,7 +164,12 @@ def inv_sqrt_newton_schulz(
             ovf = ovf | i.pair_overflow | i.out_overflow | i.row_overflow
         return (z2, total, ovf), None
 
+    xs = (
+        None
+        if plans is None
+        else (plans.p_zy, plans.p_t, plans.p_z2, plans.exp_z)
+    )
     (z, total, ovf), _ = jax.lax.scan(
-        step, (z, total, ovf), None, length=n_steps
+        step, (z, total, ovf), xs, length=n_steps
     )
     return z, total, ovf

@@ -182,6 +182,55 @@ def test_chebyshev_fermi_expansion():
     assert np.abs(got - want).max() < 1e-4
 
 
+def test_newton_schulz_planned_identical_and_drift_flagged():
+    """plan_inv_sqrt + inv_sqrt_newton_schulz(plans=): bit-identical to
+    the unplanned scan; structure drift folded into the overflow flag."""
+    from hierarchical_block_sparse_lib_tpu.models.inverse_factor import (
+        inv_sqrt_newton_schulz, plan_inv_sqrt,
+    )
+
+    n, b = 128, 16
+    rng = np.random.default_rng(8)
+    d = np.zeros((n, n), np.float32)
+    nb = n // b
+    for i in range(nb):
+        for j in range(nb):
+            if abs(i - j) <= 1:
+                d[i*b:(i+1)*b, j*b:(j+1)*b] = (
+                    rng.standard_normal((b, b)) * 0.05
+                )
+    d = (d + d.T) / 2 + np.eye(n, dtype=np.float32)
+    S = hbsm.from_dense(d, block_size=b)
+    theta = float(np.sqrt(float(hbsm.frob_squared(S))))
+    pc, oc = nb**3, nb * nb
+    Z1, t1, o1 = inv_sqrt_newton_schulz(
+        S, theta, 8, 1e-8, pair_cap=pc, out_cap=oc
+    )
+    plans = plan_inv_sqrt(S, theta, 8, 1e-8, pair_cap=pc, out_cap=oc)
+    Z2, t2, o2 = inv_sqrt_newton_schulz(
+        S, theta, 8, 1e-8, pair_cap=pc, out_cap=oc, plans=plans
+    )
+    assert not bool(o1) and not bool(o2) and int(t1) == int(t2)
+    np.testing.assert_array_equal(
+        np.asarray(hbsm.to_dense(Z2)), np.asarray(hbsm.to_dense(Z1))
+    )
+    # Still the right answer (vs dense eigensolve oracle).
+    w, v = np.linalg.eigh(d.astype(np.float64))
+    want = (v / np.sqrt(w)) @ v.T
+    assert np.abs(
+        np.asarray(hbsm.to_dense(Z2), np.float64) - want
+    ).max() < 1e-4
+    # Structural drift -> flagged.
+    d3 = d.copy()
+    d3[:b, -b:] = 0.03
+    d3[-b:, :b] = 0.03
+    S3 = hbsm.from_dense((d3 + d3.T) / 2, block_size=b)
+    _, _, o3 = inv_sqrt_newton_schulz(
+        S3, theta, 8, 1e-8, pair_cap=pc, out_cap=oc, plans=plans
+    )
+    assert bool(o3)
+
+
 def test_chebyshev_planned_identical_and_drift_flagged():
     """plan_chebyshev + chebyshev_apply(plans=): bit-identical to the
     unplanned expansion (for any coefficient vector of the planned
