@@ -12,7 +12,11 @@ from hierarchical_block_sparse_lib_tpu.models.purification import (
     purify_scan,
     sp2_step,
 )
-from hierarchical_block_sparse_lib_tpu.models.polynomial import polynomial
+from hierarchical_block_sparse_lib_tpu.models.polynomial import (
+    HornerPlans,
+    plan_polynomial,
+    polynomial,
+)
 from hierarchical_block_sparse_lib_tpu.models.inverse_factor import (
     NSPlans,
     inv_sqrt_newton_schulz,
@@ -35,6 +39,8 @@ __all__ = [
     "purify",
     "purify_scan",
     "sp2_step",
+    "HornerPlans",
+    "plan_polynomial",
     "polynomial",
     "NSPlans",
     "inv_sqrt_newton_schulz",

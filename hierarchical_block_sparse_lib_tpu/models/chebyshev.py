@@ -55,6 +55,7 @@ class ChebPlans:
     add_plans: tuple  # tuple[basic.AddPlan]
     exp_t: tuple  # tuple[int32[out_cap]] expected t_cur ids
     exp_f: tuple  # tuple[int32[out_cap]] expected f_acc ids
+    exp_h: jax.Array  # int32[cap] expected ids of the CONSTANT operand H
 
 
 def plan_chebyshev(
@@ -133,6 +134,14 @@ def _cheb_loop(
     )
     total = jnp.zeros((), jnp.int32)
     mul_plans, add_plans, exp_t, exp_f = [], [], [], []
+    if plans is not None:
+        # The constant operand's own structure must match the plan (the
+        # iterate checks below start from repack(h), but comparing h
+        # directly keeps a cap change loud too — flagged, not crashed).
+        if h.ids.shape != plans.exp_h.shape:
+            ovf = ovf | jnp.ones((), bool)
+        else:
+            ovf = ovf | jnp.any(h.ids != plans.exp_h)
     for k in range(2, len(coeffs)):
         if capture:
             mp = make_plan(
@@ -186,6 +195,7 @@ def _cheb_loop(
             add_plans=tuple(add_plans),
             exp_t=tuple(exp_t),
             exp_f=tuple(exp_f),
+            exp_h=h.ids,
         )
         if capture
         else None

@@ -47,6 +47,7 @@ class NSPlans:
     p_t: object  # SymbolicPlan with union fields, stacked
     p_z2: object  # SymbolicPlan, stacked
     exp_z: jax.Array  # int32[n_steps, out_cap]
+    exp_s: jax.Array  # int32[cap] expected ids of the CONSTANT operand S
 
 
 def plan_inv_sqrt(
@@ -95,7 +96,7 @@ def plan_inv_sqrt(
     stack = lambda ps: jax.tree.map(lambda *v: jnp.stack(v), *ps)  # noqa: E731
     return NSPlans(
         p_zy=stack(p_zy), p_t=stack(p_t), p_z2=stack(p_z2),
-        exp_z=jnp.stack(exp_z),
+        exp_z=jnp.stack(exp_z), exp_s=s.ids,
     )
 
 
@@ -169,6 +170,15 @@ def inv_sqrt_newton_schulz(
         if plans is None
         else (plans.p_zy, plans.p_t, plans.p_z2, plans.exp_z)
     )
+    if plans is not None:
+        # Z_0 = scaled I regardless of S: the constant operand's own
+        # structure must match the plan or step-1 products are silently
+        # stale (same hole as HornerPlans.exp_a).  A capacity change is
+        # drift too (static shape check, flagged not crashed).
+        if s.ids.shape != plans.exp_s.shape:
+            ovf = ovf | jnp.ones((), bool)
+        else:
+            ovf = ovf | jnp.any(s.ids != plans.exp_s)
     (z, total, ovf), _ = jax.lax.scan(
         step, (z, total, ovf), xs, length=n_steps
     )

@@ -182,6 +182,46 @@ def test_chebyshev_fermi_expansion():
     assert np.abs(got - want).max() < 1e-4
 
 
+def test_polynomial_planned_identical_and_drift_flagged():
+    """plan_polynomial + polynomial(plans=): bit-identical Horner
+    evaluation; a same-capacity structural drift of A is folded into
+    the overflow flag (a capacity change fails loudly at trace)."""
+    from hierarchical_block_sparse_lib_tpu.models.polynomial import (
+        plan_polynomial, polynomial,
+    )
+
+    n, b = 128, 16
+    rng = np.random.default_rng(2)
+    d = np.zeros((n, n), np.float32)
+    nb = n // b
+    for i in range(nb):
+        for j in range(nb):
+            if abs(i - j) <= 1:
+                d[i*b:(i+1)*b, j*b:(j+1)*b] = (
+                    rng.standard_normal((b, b)) * 0.1
+                )
+    A = hbsm.from_dense(d, block_size=b)
+    c = [0.3, -0.5, 0.2, 0.7]
+    pc, oc = nb**3, nb * nb
+    P1, t1, o1 = polynomial(A, c, 1e-8, pair_cap=pc, out_cap=oc)
+    plans = plan_polynomial(A, c, 1e-8, pair_cap=pc, out_cap=oc)
+    P2, t2, o2 = polynomial(A, c, 1e-8, pair_cap=pc, out_cap=oc,
+                            plans=plans)
+    assert not bool(o1) and not bool(o2) and int(t1) == int(t2)
+    np.testing.assert_array_equal(
+        np.asarray(hbsm.to_dense(P2)), np.asarray(hbsm.to_dense(P1))
+    )
+    # Same-capacity structural drift (move one block) -> flagged.
+    d3 = d.copy()
+    d3[:b, b:2*b] = 0.0
+    d3[:b, -b:] = 0.1
+    A3 = hbsm.from_dense(d3, block_size=b)
+    if A3.cap == A.cap:
+        _, _, o3 = polynomial(A3, c, 1e-8, pair_cap=pc, out_cap=oc,
+                              plans=plans)
+        assert bool(o3)
+
+
 def test_newton_schulz_planned_identical_and_drift_flagged():
     """plan_inv_sqrt + inv_sqrt_newton_schulz(plans=): bit-identical to
     the unplanned scan; structure drift folded into the overflow flag."""
