@@ -44,18 +44,18 @@ def chebyshev_coeffs(f, order: int, n_samples: int = 256) -> np.ndarray:
 @dataclass(frozen=True)
 class ChebPlans:
     """Per-term structural plans for a fixed Chebyshev trajectory
-    (`plan_chebyshev`): the recurrence multiply's symbolic+union plan,
-    the accumulator add's union plan, and the expected iterate /
-    accumulator ids for the never-silent drift check.  The trajectory's
-    structure depends only on (H, tau, n_terms) — the coefficients just
-    scale data — so one walk serves any coefficient vector of the same
-    length."""
+    (`plan_chebyshev`): the recurrence multiply's symbolic+union plan
+    and the accumulator add's union plan.  The trajectory's structure
+    depends only on (H, tau, n_terms) — the coefficients just scale
+    data — so one walk serves any coefficient vector of the same
+    length.  Both plan kinds record the operand ids they were built for
+    and self-check on use (spgemm's MultiplyInfo.plan_mismatch /
+    add_planned's overflow), so drift — including a data drift that
+    changes a truncation decision mid-trajectory — is folded into the
+    returned overflow flag, never silent."""
 
     mul_plans: tuple  # tuple[SymbolicPlan], one per term k >= 2
     add_plans: tuple  # tuple[basic.AddPlan]
-    exp_t: tuple  # tuple[int32[out_cap]] expected t_cur ids
-    exp_f: tuple  # tuple[int32[out_cap]] expected f_acc ids
-    exp_h: jax.Array  # int32[cap] expected ids of the CONSTANT operand H
 
 
 def plan_chebyshev(
@@ -133,36 +133,24 @@ def _cheb_loop(
         cap=out_cap,
     )
     total = jnp.zeros((), jnp.int32)
-    mul_plans, add_plans, exp_t, exp_f = [], [], [], []
-    if plans is not None:
-        # The constant operand's own structure must match the plan (the
-        # iterate checks below start from repack(h), but comparing h
-        # directly keeps a cap change loud too — flagged, not crashed).
-        if h.ids.shape != plans.exp_h.shape:
-            ovf = ovf | jnp.ones((), bool)
-        else:
-            ovf = ovf | jnp.any(h.ids != plans.exp_h)
+    mul_plans, add_plans = [], []
     for k in range(2, len(coeffs)):
         if capture:
-            mp = make_plan(
-                h, t_cur, pair_cap, accum_ids=t_prev.ids, out_cap=out_cap,
+            mul_plans.append(
+                make_plan(
+                    h, t_cur, pair_cap, accum_ids=t_prev.ids,
+                    out_cap=out_cap,
+                )
             )
-            mul_plans.append(mp)
-            exp_t.append(t_cur.ids)
-            exp_f.append(f_acc.ids)
         mp = mul_plans[-1] if capture else (
             plans.mul_plans[k - 2] if plans is not None else None
         )
-        if plans is not None:
-            ovf = (
-                ovf
-                | jnp.any(t_cur.ids != plans.exp_t[k - 2])
-                | jnp.any(f_acc.ids != plans.exp_f[k - 2])
-            )
         # T_{k+1} = 2 H T_k - T_{k-1} in ONE structural pass: the
         # recurrence subtraction rides spgemm's fused beta-accumulate
         # (union support at out_cap; a union overflow is reported via
         # info.out_overflow, covering the old post-add drop check).
+        # With a plan, spgemm self-checks h/t_cur/t_prev against the
+        # planned structure (info.plan_mismatch).
         t_nxt, info = spgemm(
             h, t_cur, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
             row_caps=row_caps, accum=t_prev, alpha=2.0, beta=-1.0,
@@ -170,12 +158,17 @@ def _cheb_loop(
         )
         t_nxt = truncate(t_nxt, tau)
         if capture:
-            ap = basic.make_add_plan(f_acc.ids, t_nxt.ids, out_cap)
-            add_plans.append(ap)
+            add_plans.append(
+                basic.make_add_plan(f_acc.ids, t_nxt.ids, out_cap)
+            )
         ap = add_plans[-1] if capture else (
             plans.add_plans[k - 2] if plans is not None else None
         )
         if ap is not None:
+            # add_planned self-checks f_acc AND the freshly-truncated
+            # t_nxt against the planned ids — this is what catches a
+            # data drift that changes the FINAL term's truncation (no
+            # later planned op would see it).
             f_acc, acc_ovf = basic.add_planned(
                 f_acc, t_nxt, ap, beta=float(coeffs[k])
             )
@@ -186,16 +179,14 @@ def _cheb_loop(
         ovf = ovf | acc_ovf
         total = total + info.n_block_pairs
         ovf = (
-            ovf | info.pair_overflow | info.out_overflow | info.row_overflow
+            ovf | info.pair_overflow | info.out_overflow
+            | info.row_overflow | info.plan_mismatch
         )
         t_prev, t_cur = t_cur, t_nxt
     cp = (
         ChebPlans(
             mul_plans=tuple(mul_plans),
             add_plans=tuple(add_plans),
-            exp_t=tuple(exp_t),
-            exp_f=tuple(exp_f),
-            exp_h=h.ids,
         )
         if capture
         else None

@@ -37,17 +37,16 @@ from hierarchical_block_sparse_lib_tpu.ops.truncate import truncate
 @dataclass(frozen=True)
 class NSPlans:
     """Per-step structural plans for a fixed Newton-Schulz trajectory
-    (`plan_inv_sqrt`): the three multiplies' symbolic(+union) plans and
-    the expected per-step iterate ids, every field stacked over a
-    leading [n_steps] axis.  Feed to
-    ``inv_sqrt_newton_schulz(..., plans=...)`` — drift off the planned
-    trajectory is folded into the returned overflow flag."""
+    (`plan_inv_sqrt`): the three multiplies' symbolic(+union) plans,
+    every field stacked over a leading [n_steps] axis.  Feed to
+    ``inv_sqrt_newton_schulz(..., plans=...)``.  Each plan records the
+    operand ids it was built for and spgemm self-checks them on use, so
+    drift off the planned trajectory (including of the constant S) is
+    folded into the returned overflow flag."""
 
     p_zy: object  # SymbolicPlan, stacked
     p_t: object  # SymbolicPlan with union fields, stacked
     p_z2: object  # SymbolicPlan, stacked
-    exp_z: jax.Array  # int32[n_steps, out_cap]
-    exp_s: jax.Array  # int32[cap] expected ids of the CONSTANT operand S
 
 
 def plan_inv_sqrt(
@@ -69,9 +68,8 @@ def plan_inv_sqrt(
         eye(n, b, dtype=s.dtype, cap=out_cap),
         1.0 / jnp.sqrt(jnp.asarray(theta, jnp.float32)).astype(s.dtype),
     )
-    p_zy, p_t, p_z2, exp_z = [], [], [], []
+    p_zy, p_t, p_z2 = [], [], []
     for _ in range(n_steps):
-        exp_z.append(z.ids)
         pz = make_plan(z, s, pair_cap)
         zy, _ = spgemm(
             z, s, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
@@ -94,10 +92,7 @@ def plan_inv_sqrt(
         p_t.append(pt)
         p_z2.append(p2)
     stack = lambda ps: jax.tree.map(lambda *v: jnp.stack(v), *ps)  # noqa: E731
-    return NSPlans(
-        p_zy=stack(p_zy), p_t=stack(p_t), p_z2=stack(p_z2),
-        exp_z=jnp.stack(exp_z), exp_s=s.ids,
-    )
+    return NSPlans(p_zy=stack(p_zy), p_t=stack(p_t), p_z2=stack(p_z2))
 
 
 @partial(
@@ -138,9 +133,7 @@ def inv_sqrt_newton_schulz(
 
     def step(carry, xs):
         z, total, ovf = carry
-        pz, pt, p2, ez = xs if xs is not None else (None,) * 4
-        if xs is not None:
-            ovf = ovf | jnp.any(z.ids != ez)
+        pz, pt, p2 = xs if xs is not None else (None,) * 3
         zy, i1 = spgemm(
             z, s, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
             row_caps=row_caps, plan=pz,
@@ -162,23 +155,16 @@ def inv_sqrt_newton_schulz(
         z2 = truncate(z2, tau)
         total = total + i1.n_block_pairs + i2.n_block_pairs + i3.n_block_pairs
         for i in (i1, i2, i3):
-            ovf = ovf | i.pair_overflow | i.out_overflow | i.row_overflow
+            # plan_mismatch: spgemm self-checks each plan against the
+            # actual operand/accumulator ids (covers z, the constant S,
+            # and the intermediates) — stale plans are never silent.
+            ovf = (
+                ovf | i.pair_overflow | i.out_overflow | i.row_overflow
+                | i.plan_mismatch
+            )
         return (z2, total, ovf), None
 
-    xs = (
-        None
-        if plans is None
-        else (plans.p_zy, plans.p_t, plans.p_z2, plans.exp_z)
-    )
-    if plans is not None:
-        # Z_0 = scaled I regardless of S: the constant operand's own
-        # structure must match the plan or step-1 products are silently
-        # stale (same hole as HornerPlans.exp_a).  A capacity change is
-        # drift too (static shape check, flagged not crashed).
-        if s.ids.shape != plans.exp_s.shape:
-            ovf = ovf | jnp.ones((), bool)
-        else:
-            ovf = ovf | jnp.any(s.ids != plans.exp_s)
+    xs = None if plans is None else (plans.p_zy, plans.p_t, plans.p_z2)
     (z, total, ovf), _ = jax.lax.scan(
         step, (z, total, ovf), xs, length=n_steps
     )

@@ -30,11 +30,11 @@ class HornerPlans:
     supports depend on the COEFFICIENTS (truncation sees c_k*I folded
     into the accumulator), so plans are per-(A, coeffs, tau) — the reuse
     regime is repeated evaluation under data drift with frozen
-    structure."""
+    structure.  Each plan records the operand ids it was built for and
+    spgemm self-checks them on use (drift of A or the accumulator folds
+    into the returned overflow flag)."""
 
     mul_plans: tuple  # tuple[SymbolicPlan with union fields]
-    exp_acc: tuple  # tuple[int32[...]] expected accumulator ids
-    exp_a: jax.Array  # int32[cap] expected ids of the CONSTANT operand A
 
 
 def plan_polynomial(
@@ -92,16 +92,7 @@ def _horner(
     acc = basic.scale(ident, coeffs[-1])
     total_pairs = jnp.zeros((), jnp.int32)
     overflow = jnp.zeros((), bool)
-    mul_plans, exp_acc = [], []
-    if plans is not None:
-        # The constant operand's own structure must match the plan too —
-        # the accumulator starts as c_n*I regardless of A, so a drifted
-        # A would otherwise produce silently-stale step-1 products.  A
-        # capacity change is drift too (flagged, not crashed).
-        if a.ids.shape != plans.exp_a.shape:
-            overflow = overflow | jnp.ones((), bool)
-        else:
-            overflow = overflow | jnp.any(a.ids != plans.exp_a)
+    mul_plans = []
     for k, c in enumerate(reversed(coeffs[:-1])):
         if capture:
             mul_plans.append(
@@ -109,15 +100,14 @@ def _horner(
                     acc, a, pair_cap, accum_ids=ident.ids, out_cap=out_cap
                 )
             )
-            exp_acc.append(acc.ids)
         mp = mul_plans[-1] if capture else (
             plans.mul_plans[k] if plans is not None else None
         )
-        if plans is not None:
-            overflow = overflow | jnp.any(acc.ids != plans.exp_acc[k])
         # Horner step acc <- acc@A + c*I in ONE structural pass via the
         # fused beta-accumulate; a union overflow (support past out_cap,
         # previously a silent repack drop) is reported via out_overflow.
+        # With a plan, spgemm self-checks acc/A/ident against the
+        # planned structure (info.plan_mismatch).
         acc, info = spgemm(
             acc, a, pair_cap=pair_cap, out_cap=out_cap, backend=backend,
             accum=ident, beta=c, plan=mp,
@@ -125,15 +115,8 @@ def _horner(
         total_pairs = total_pairs + info.n_block_pairs
         overflow = (
             overflow | info.pair_overflow | info.out_overflow
-            | info.row_overflow
+            | info.row_overflow | info.plan_mismatch
         )
         acc = truncate(acc, tau)
-    hp = (
-        HornerPlans(
-            mul_plans=tuple(mul_plans), exp_acc=tuple(exp_acc),
-            exp_a=a.ids,
-        )
-        if capture
-        else None
-    )
+    hp = HornerPlans(mul_plans=tuple(mul_plans)) if capture else None
     return acc, total_pairs, overflow, hp

@@ -151,7 +151,10 @@ def sp2_step(
         out_overflow=info.out_overflow | info.row_overflow,
         repack_overflow=nnz_kept > cap,
         nnz_union=info.n_out_blocks,
-        plan_mismatch=jnp.zeros((), bool),  # set by the planned scan
+        # spgemm self-checks the supplied plan against the operands'
+        # (and accumulator's) actual id structure — a stale plan is
+        # reported here even for direct sp2_step(plan=) callers.
+        plan_mismatch=info.plan_mismatch,
     )
     return y, stats
 
@@ -276,6 +279,9 @@ def purify_scan(
         )
 
     def step(x, xs):
+        # Staleness is self-checked inside spgemm (the plan records the
+        # operand/accumulator ids it was built for) and lands in
+        # stats.plan_mismatch via sp2_step — no separate compare needed.
         y, s = sp2_step(
             x,
             tau,
@@ -286,15 +292,11 @@ def purify_scan(
             cap=cap,
             row_caps=row_caps,
             symmetric=symmetric,
-            plan=None if xs is None else xs[0],
+            plan=None if xs is None else xs,
         )
-        if xs is not None:
-            s = dataclasses.replace(
-                s, plan_mismatch=jnp.any(x.ids != xs[1])
-            )
         return y, s
 
-    xs = None if plans is None else (plans.plans, plans.expected_ids)
+    xs = None if plans is None else plans.plans
     xf, stats = jax.lax.scan(step, x, xs, length=n_steps)
     stats = dataclasses.replace(
         stats,

@@ -66,42 +66,69 @@ def add(
     return add_with_info(a, b, alpha=alpha, beta=beta, cap=cap)[0]
 
 
+def union_merge(c_id: jax.Array, acc_ids: jax.Array, out_cap: int):
+    """Union structure of two SENTINEL-padded sorted id arrays: returns
+    (out_ids, seg, pos_acc, n_unique) where seg/pos_acc map each input
+    row to its union slot (SENTINEL rows -> the dropped slot `out_cap`).
+
+    ONE argsort: each input element's union slot comes back through the
+    inverse permutation (an int32 scatter) — no extra searchsorted
+    passes (each a full sort on TPU).  Shared by spgemm's
+    beta-accumulate bookkeeping and `make_add_plan`."""
+    both = jnp.concatenate([c_id, acc_ids])
+    order = jnp.argsort(both)
+    uni = both[order]
+    firstu = jnp.concatenate(
+        [jnp.ones((1,), bool), uni[1:] != uni[:-1]]
+    )
+    validu = uni != SENTINEL
+    slotu = jnp.where(
+        validu, jnp.cumsum(firstu & validu) - 1, out_cap
+    ).astype(jnp.int32)
+    out_ids = (
+        jnp.full((out_cap,), SENTINEL, jnp.int32)
+        .at[slotu]
+        .set(uni, mode="drop")
+    )
+    n_unique = jnp.sum(firstu & validu).astype(jnp.int32)
+    # Inverse permutation: original element order[i] sits at sorted
+    # position i, so its union slot is slotu[i].
+    slot_orig = (
+        jnp.zeros((both.shape[0],), jnp.int32).at[order].set(slotu)
+    )
+    seg = slot_orig[: c_id.shape[0]]
+    pos_acc = slot_orig[c_id.shape[0]:]
+    return out_ids, seg, pos_acc, n_unique
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class AddPlan:
     """Precomputed union structure for `add_planned`: valid while both
     operands keep exactly the id arrays it was built from (data may
     change freely — the fixed-structure iteration regime).  The add then
-    costs ONE scatter-add of the block data: no sort, no id pass."""
+    costs ONE scatter-add of the block data plus two id compares (the
+    staleness check): no sort, no structural pass."""
 
     out_ids: jax.Array  # int32[cap] union ids, sorted, SENTINEL padded
     slot_in: jax.Array  # int32[capA+capB] input row -> union slot
     nnz: jax.Array  # int32[] union size (pre-clamp: > cap means dropped)
+    a_ids: jax.Array  # int32[capA] the operand ids the plan was built for
+    b_ids: jax.Array  # int32[capB]
 
 
 def make_add_plan(
     a_ids: jax.Array, b_ids: jax.Array, cap: int
 ) -> AddPlan:
     """Union-structure plan for ``add_planned`` (one argsort, device)."""
-    ids = jnp.concatenate([a_ids, b_ids])
-    order = jnp.argsort(ids)
-    ids_s = ids[order]
-    valid = ids_s != SENTINEL
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), ids_s[1:] != ids_s[:-1]]
+    out_ids, seg, pos_acc, nnz = union_merge(a_ids, b_ids, cap)
+    return AddPlan(
+        out_ids=out_ids,
+        slot_in=jnp.concatenate([seg, pos_acc]),
+        nnz=nnz,
+        a_ids=a_ids,
+        b_ids=b_ids,
     )
-    slot = (jnp.cumsum(first & valid) - 1).astype(jnp.int32)
-    slot = jnp.where(valid, slot, cap)
-    out_ids = (
-        jnp.full((cap,), SENTINEL, jnp.int32)
-        .at[slot]
-        .set(ids_s, mode="drop")
-    )
-    slot_in = (
-        jnp.zeros((ids.shape[0],), jnp.int32).at[order].set(slot)
-    )
-    nnz = jnp.sum(first & valid).astype(jnp.int32)
-    return AddPlan(out_ids=out_ids, slot_in=slot_in, nnz=nnz)
 
 
 def add_planned(
@@ -113,13 +140,22 @@ def add_planned(
 ):
     """C = alpha*A + beta*B at a precomputed union structure
     (`make_add_plan` on these operands' exact ids).  Returns
-    (C, overflow); one data scatter-add, zero structural work."""
+    (C, overflow): overflow is True when the union exceeded the plan's
+    capacity OR when either operand's ids diverged from the planned
+    structure (a stale plan scatters into wrong slots — the mismatch is
+    folded in here so it is never silent)."""
     cap = plan.out_ids.shape[0]
     if plan.slot_in.shape[0] != a.cap + b.cap:
         raise ValueError(
             f"plan built for capA+capB={plan.slot_in.shape[0]}, "
             f"got {a.cap}+{b.cap}"
         )
+    mismatch = jnp.zeros((), bool)
+    for got, want in ((a.ids, plan.a_ids), (b.ids, plan.b_ids)):
+        if got.shape != want.shape:  # capacity change counts as drift
+            mismatch = mismatch | jnp.ones((), bool)
+        else:
+            mismatch = mismatch | jnp.any(got != want)
     data = jnp.concatenate(
         [
             a.data * jnp.asarray(alpha, a.dtype),
@@ -139,7 +175,7 @@ def add_planned(
         n_cols=a.n_cols,
         block_size=a.block_size,
     )
-    return c, plan.nnz > cap
+    return c, (plan.nnz > cap) | mismatch
 
 
 def scale(a: BlockMatrix, alpha) -> BlockMatrix:

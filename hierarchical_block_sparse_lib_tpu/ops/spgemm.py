@@ -51,6 +51,12 @@ class MultiplyInfo:
     # would otherwise produce silently-wrong panels); always False for the
     # other backends.
     row_overflow: jax.Array
+    # True when a `plan=` was supplied but some operand's id structure
+    # diverged from what the plan was built for — the numeric phase then
+    # gathered stale pairs and the result is WRONG.  Always False when no
+    # plan is used.  Every planned primitive self-validates (never
+    # silent).
+    plan_mismatch: jax.Array
     # Exact logical-leaf multiply count (reference leaf granularity, e.g.
     # 16/32) when per-tile occupancy masks are supplied via
     # a_leaf_occ/b_leaf_occ (see ops.repack.coarsen(track_leaves=True));
@@ -185,47 +191,17 @@ class SymbolicPlan:
     c_id: jax.Array  # int32[pair_cap], sorted, SENTINEL padded
     total: jax.Array  # int32[] surviving pairs
     raw_total: jax.Array  # int32[] unfiltered enumeration size
+    # Operand id structure the plan was built for — compared on use and
+    # reported via MultiplyInfo.plan_mismatch (a stale plan gathers
+    # wrong pairs; the check keeps that loud, two int compares).
+    a_ids: jax.Array | None = None  # int32[capA]
+    b_ids: jax.Array | None = None  # int32[capB]
     # Optional precomputed accumulate-union structure (else None).
     out_ids: jax.Array | None = None  # int32[out_cap] union ids
     seg: jax.Array | None = None  # int32[pair_cap] pair -> union slot
     pos_acc: jax.Array | None = None  # int32[acc_cap] accum -> union slot
     n_unique: jax.Array | None = None  # int32[] distinct union blocks
-
-
-def _union_merge(c_id: jax.Array, acc_ids: jax.Array, out_cap: int):
-    """Union structure of the (sorted, SENTINEL-padded) product c_ids
-    with an accumulator's sorted ids: returns (out_ids_pre, seg,
-    pos_acc, n_unique) — the beta-accumulate bookkeeping of `spgemm`.
-
-    ONE argsort: each input element's union slot comes back through the
-    inverse permutation (an int32 scatter), replacing the two extra
-    sorted-searchsorted passes (each a full sort on TPU) the original
-    slot lookup cost."""
-    both = jnp.concatenate([c_id, acc_ids])
-    order = jnp.argsort(both)
-    uni = both[order]
-    firstu = jnp.concatenate(
-        [jnp.ones((1,), bool), uni[1:] != uni[:-1]]
-    )
-    validu = uni != SENTINEL
-    slotu = jnp.where(
-        validu, jnp.cumsum(firstu & validu) - 1, out_cap
-    ).astype(jnp.int32)
-    out_ids_pre = (
-        jnp.full((out_cap,), SENTINEL, jnp.int32)
-        .at[slotu]
-        .set(uni, mode="drop")
-    )
-    n_unique = jnp.sum(firstu & validu).astype(jnp.int32)
-    # Inverse permutation: original element order[i] sits at sorted
-    # position i, so its union slot is slotu[i].  SENTINEL padding rows
-    # carry slot out_cap (dropped by the callers' mode="drop" scatters).
-    slot_orig = (
-        jnp.zeros((both.shape[0],), jnp.int32).at[order].set(slotu)
-    )
-    seg = slot_orig[: c_id.shape[0]]
-    pos_acc = slot_orig[c_id.shape[0]:]
-    return out_ids_pre, seg, pos_acc, n_unique
+    acc_ids: jax.Array | None = None  # int32[acc_cap] planned accum ids
 
 
 def make_plan(
@@ -241,7 +217,8 @@ def make_plan(
     """Run the symbolic phase once and package it for reuse via
     ``spgemm(..., plan=...)``.  Valid while both operands' id arrays are
     unchanged (data may change freely); with `filter_by_norm` the norm
-    filter is frozen at planning time.
+    filter is frozen at planning time.  Staleness is self-checked at use
+    (MultiplyInfo.plan_mismatch).
 
     With `accum_ids` (the accumulator's sorted id array) and `out_cap`,
     the beta-accumulate union structure is precomputed as well — the
@@ -251,18 +228,19 @@ def make_plan(
         a, b, pair_cap, tau=tau, filter_by_norm=filter_by_norm,
         syrk_upper=syrk_upper,
     )
+    # The plan records the POST-transpose-flag operand structure the
+    # symbolic phase saw; spgemm compares after its own transpose step.
+    rec = dict(a_ids=a.ids, b_ids=b.ids)
     if accum_ids is None:
-        return SymbolicPlan(*sym)
+        return SymbolicPlan(*sym, **rec)
     if out_cap is None:
         raise ValueError("make_plan(accum_ids=...) requires out_cap")
-    acc_ids = jnp.where(
-        accum_ids != SENTINEL, accum_ids, SENTINEL
-    ).astype(jnp.int32)
-    out_ids, seg, pos_acc, n_unique = _union_merge(
-        sym[2], acc_ids, out_cap
+    out_ids, seg, pos_acc, n_unique = basic.union_merge(
+        sym[2], accum_ids, out_cap
     )
     return SymbolicPlan(
-        *sym, out_ids=out_ids, seg=seg, pos_acc=pos_acc, n_unique=n_unique
+        *sym, **rec, out_ids=out_ids, seg=seg, pos_acc=pos_acc,
+        n_unique=n_unique, acc_ids=accum_ids,
     )
 
 
@@ -424,6 +402,7 @@ def spgemm(
             f"inner dims/block mismatch: {a.n_cols}x{a.block_size} vs "
             f"{b.n_rows}x{b.block_size}"
         )
+    plan_mismatch = jnp.zeros((), bool)
     if plan is None:
         a_idx, b_idx, c_id, total, raw_total = spgemm_symbolic(
             a, b, pair_cap, tau=tau, filter_by_norm=filter_by_norm,
@@ -437,6 +416,15 @@ def spgemm(
             )
         a_idx, b_idx, c_id = plan.a_idx, plan.b_idx, plan.c_id
         total, raw_total = plan.total, plan.raw_total
+        # Self-check: a stale plan gathers wrong pairs — compare the
+        # operands' id structure against what the plan was built for
+        # (capacity changes count as drift; static shape check).
+        if plan.a_ids is not None:
+            for got, want in ((a.ids, plan.a_ids), (b.ids, plan.b_ids)):
+                if got.shape != want.shape:
+                    plan_mismatch = plan_mismatch | jnp.ones((), bool)
+                else:
+                    plan_mismatch = plan_mismatch | jnp.any(got != want)
     gemm_cap = pair_cap if gemm_cap is None else min(gemm_cap, pair_cap)
     if gemm_cap < pair_cap:
         # Survivors sort before SENTINEL padding: slicing keeps them all
@@ -511,22 +499,33 @@ def spgemm(
             raise ValueError("accum block_size mismatch")
         if plan is not None and plan.out_ids is not None:
             # Precomputed union structure (make_plan(accum_ids=...)):
-            # valid only for an accumulator with the planned ids.
+            # valid only for an accumulator with the planned ids — also
+            # self-checked into plan_mismatch.
             if plan.out_ids.shape[0] != out_cap:
                 raise ValueError(
                     f"plan union built for out_cap="
                     f"{plan.out_ids.shape[0]}, got {out_cap}"
                 )
-            out_ids_pre, seg = plan.out_ids, plan.seg
+            out_ids_pre = plan.out_ids
+            # Keep the slot map aligned with the (possibly gemm_cap-
+            # sliced) pair arrays.
+            seg = plan.seg[:gemm_cap]
             pos_acc, n_unique = plan.pos_acc, plan.n_unique
+            if accum.ids.shape != plan.acc_ids.shape:
+                plan_mismatch = plan_mismatch | jnp.ones((), bool)
+            else:
+                plan_mismatch = plan_mismatch | jnp.any(
+                    accum.ids != plan.acc_ids
+                )
         else:
             # Output structure = union(product support, accum support):
-            # sort the pair c_ids together with accum's ids (int32 only;
-            # the block data never moves through this).
+            # union slots for BOTH inputs come back through one argsort's
+            # inverse permutation (basic.union_merge) — int32 only, the
+            # block data never moves through this.
             acc_ids = jnp.where(
                 accum.valid_mask(), accum.ids, SENTINEL
             ).astype(jnp.int32)
-            out_ids_pre, seg, pos_acc, n_unique = _union_merge(
+            out_ids_pre, seg, pos_acc, n_unique = basic.union_merge(
                 c_id, acc_ids, out_cap
             )
     on_tpu = jax.default_backend() == "tpu"
@@ -765,6 +764,7 @@ def spgemm(
         pair_overflow=(raw_total > pair_cap) | (total > gemm_cap),
         out_overflow=n_unique > out_cap,
         row_overflow=row_overflow,
+        plan_mismatch=plan_mismatch,
         n_leaf_multiplies=n_leaf,
     )
     return c, info

@@ -323,6 +323,19 @@ def test_chebyshev_planned_identical_and_drift_flagged():
         H3, c, tau, pair_cap=pc, out_cap=oc, plans=plans
     )
     assert bool(o3)
+    # DATA drift with identical ids that changes truncation decisions
+    # mid-trajectory must flag too (was a confirmed silent-wrong-answer
+    # hole: the final term's post-truncate structure was never checked).
+    H4 = hbsm.scale(H, 0.01)
+    plans4 = plan_chebyshev(H, len(c), 1e-4, pair_cap=pc, out_cap=oc)
+    F4p, _, o4 = chebyshev_apply(
+        H4, c, 1e-4, pair_cap=pc, out_cap=oc, plans=plans4
+    )
+    F4u, _, _ = chebyshev_apply(H4, c, 1e-4, pair_cap=pc, out_cap=oc)
+    same = np.array_equal(
+        np.asarray(hbsm.to_dense(F4p)), np.asarray(hbsm.to_dense(F4u))
+    )
+    assert same or bool(o4), "stale planned result differs yet unflagged"
 
 
 def test_profile_purify_tight_caps_identical_trajectory():

@@ -283,3 +283,53 @@ def test_symbolic_plan_reuse():
         assert int(i_pl.n_block_pairs) == int(i_ref.n_block_pairs)
     with pytest.raises(ValueError):
         hbsm.spgemm(A, B, pair_cap=n_pairs + 1, out_cap=n_out, plan=plan)
+
+
+def test_planned_union_with_gemm_cap():
+    """spgemm(plan=<with union>, accum=, gemm_cap=<pair_cap) must slice
+    the planned slot map alongside the pair arrays (regression: shape
+    crash) and match the unplanned SpAMM-accumulate result."""
+    n, b = 256, 32
+    rng = np.random.default_rng(0)
+    d = np.zeros((n, n), np.float32)
+    nb = n // b
+    for i in range(nb):
+        for j in range(nb):
+            if abs(i - j) <= 2:
+                scale = 0.001 if abs(i - j) == 2 else 1.0
+                d[i*b:(i+1)*b, j*b:(j+1)*b] = (
+                    rng.standard_normal((b, b)) * scale
+                )
+    A = hbsm.from_dense(d, block_size=b)
+    pc, oc = plan_spgemm(A, A)
+    tau = 0.5
+    gc, _ = hbsm.plan_spamm(A, A, tau)
+    assert gc < pc  # the filter must actually shrink the MXU batch
+    plan = hbsm.make_plan(
+        A, A, pc, tau=tau, filter_by_norm=True, accum_ids=A.ids,
+        out_cap=oc,
+    )
+    C, info = hbsm.spgemm(
+        A, A, pair_cap=pc, out_cap=oc, tau=tau, filter_by_norm=True,
+        gemm_cap=gc, plan=plan, accum=A, beta=0.5,
+    )
+    assert not bool(info.plan_mismatch)
+    C2, _ = hbsm.spgemm(
+        A, A, pair_cap=pc, out_cap=oc, tau=tau, filter_by_norm=True,
+        gemm_cap=gc, accum=A, beta=0.5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(C)), np.asarray(hbsm.to_dense(C2))
+    )
+    # Stale plan (different ids, same caps) -> plan_mismatch.
+    d2 = d.copy()
+    d2[:b, 3*b:4*b] = 0.7
+    d2[:b, b:2*b] = 0.0
+    A2 = hbsm.from_dense(d2, block_size=b)
+    if A2.cap == A.cap:
+        _, i2 = hbsm.spgemm(
+            A2, A2, pair_cap=pc, out_cap=oc, tau=tau,
+            filter_by_norm=True, gemm_cap=gc, plan=plan, accum=A2,
+            beta=0.5,
+        )
+        assert bool(i2.plan_mismatch)
