@@ -77,6 +77,10 @@ from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_groups import (
     plan_groups,
     GroupPlan,
 )
+from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_roll import (
+    plan_roll,
+    RollPlan,
+)
 from hierarchical_block_sparse_lib_tpu.ops.matmul import matmul, syrk
 from hierarchical_block_sparse_lib_tpu.ops.slab import spgemm_colslab
 from hierarchical_block_sparse_lib_tpu.ops.spmm import spmm, spmv
@@ -114,6 +118,8 @@ __all__ = [
     "spamm",
     "plan_coarsen",
     "plan_groups",
+    "plan_roll",
+    "RollPlan",
     "GroupPlan",
     "make_plan",
     "SymbolicPlan",

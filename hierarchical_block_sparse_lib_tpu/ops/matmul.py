@@ -36,6 +36,9 @@ def matmul(
     from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_groups import (
         plan_groups,
     )
+    from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_roll import (
+        plan_roll,
+    )
 
     ae = basic.transpose(a) if transpose_a else a
     be = basic.transpose(b) if transpose_b else b
@@ -44,8 +47,19 @@ def matmul(
     # the B-slab-reuse kernel.  Only profitable where per-row panels are
     # narrow or the structure is large (measured: banded mid-sizes with
     # >=5-wide panels run ~25% faster on the rows kernel) — gate on the
-    # narrow-panel case the rows kernel handles worst.
-    gplan = plan_groups(ae, be) if mbr < 5 or pc >= 4096 else None
+    # narrow-panel case the rows kernel handles worst.  Monotone bands
+    # additionally get a rolling-window plan (v5: tail-append B traffic
+    # instead of whole per-group slabs) when it strictly cuts fetches.
+    gplan = rplan = None
+    if mbr < 5 or pc >= 4096:
+        gplan = plan_groups(ae, be)
+        rplan = plan_roll(ae, be)
+        if (
+            rplan is not None
+            and gplan is not None
+            and rplan.traffic >= gplan.slab_blocks
+        ):
+            rplan = None  # window no smaller than the slabs: keep v4
     return spgemm(
         ae,
         be,
@@ -56,6 +70,7 @@ def matmul(
         backend=backend,
         row_caps=(mbr, mcr),
         group_caps=gplan.caps if gplan is not None else None,
+        roll_caps=rplan.caps if rplan is not None else None,
     )
 
 

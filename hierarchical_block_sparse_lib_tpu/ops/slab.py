@@ -198,6 +198,7 @@ def spgemm_colslab(
             pair_overflow=jnp.zeros((), bool),
             out_overflow=jnp.zeros((), bool),
             row_overflow=jnp.zeros((), bool),
+            plan_mismatch=jnp.zeros((), bool),
             n_leaf_multiplies=jnp.full((), -1, jnp.int32),
         )
     out = jnp.zeros((plan.n_out, bs, bs), a.dtype)
@@ -234,6 +235,7 @@ def spgemm_colslab(
         pair_overflow=ovf,
         out_overflow=ovf,
         row_overflow=row_ovf,
+        plan_mismatch=jnp.zeros((), bool),
         n_leaf_multiplies=jnp.full((), -1, jnp.int32),
     )
     return c, info

@@ -47,7 +47,7 @@ class Counters:
             self.n_out_blocks += int(np.asarray(outs).sum())
         for f in (
             "pair_overflow", "out_overflow", "row_overflow",
-            "repack_overflow",
+            "repack_overflow", "plan_mismatch",
         ):
             v = getattr(info, f, None)
             if v is not None and bool(np.asarray(v).any()):
