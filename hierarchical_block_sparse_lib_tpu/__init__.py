@@ -81,6 +81,24 @@ from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_roll import (
     plan_roll,
     RollPlan,
 )
+from hierarchical_block_sparse_lib_tpu.ops.band import (
+    BandMatrix,
+    band_add,
+    band_from_blocks,
+    band_from_dense,
+    band_frob_squared,
+    band_mm,
+    band_scale,
+    band_to_blocks,
+    band_to_dense,
+    band_trace,
+    band_transpose,
+)
+from hierarchical_block_sparse_lib_tpu.ops.leafpack import (
+    LeafpackPlan,
+    leafpack_spgemm,
+    plan_leafpack,
+)
 from hierarchical_block_sparse_lib_tpu.ops.matmul import matmul, syrk
 from hierarchical_block_sparse_lib_tpu.ops.slab import spgemm_colslab
 from hierarchical_block_sparse_lib_tpu.ops.spmm import spmm, spmv
@@ -127,6 +145,20 @@ __all__ = [
     "MultiplyInfo",
     "repack",
     "coarsen",
+    "BandMatrix",
+    "band_add",
+    "band_from_blocks",
+    "band_from_dense",
+    "band_frob_squared",
+    "band_mm",
+    "band_scale",
+    "band_to_blocks",
+    "band_to_dense",
+    "band_trace",
+    "band_transpose",
+    "LeafpackPlan",
+    "leafpack_spgemm",
+    "plan_leafpack",
     "matmul",
     "syrk",
     "plan_syrk",

@@ -111,6 +111,10 @@ def main():
             out, info = spgemm(A, A, **kw)
             assert not bool(np.asarray(info.pair_overflow)), backend
             assert not bool(np.asarray(info.out_overflow)), backend
+            # row_overflow covers undersized static caps for the rows/
+            # groups/roll kernels (an undersized cap clamps in-kernel and
+            # yields silently wrong panels) — never silent (ADVICE.md r2).
+            assert not bool(np.asarray(info.row_overflow)), backend
             outs[backend] = np.asarray(jax.device_get(out.data))
             log(
                 f"   {backend:6s}: {dt*1e3:8.3f} ms/iter  "
