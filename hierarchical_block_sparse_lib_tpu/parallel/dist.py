@@ -134,12 +134,16 @@ def dist_spgemm(
     axis: str = "p",
     backend: str = "auto",
     precision: str = "highest",
+    row_caps: tuple | None = None,
 ):
     """Distributed C = alpha * A @ B with ring-rotated B panels.
 
     `pair_cap`/`stage_out_cap` are per-device per-stage capacities;
-    `out_cap` is the per-device capacity of the result.  Returns
-    (C distributed, total block pairs across all devices).
+    `out_cap` is the per-device capacity of the result; `row_caps` the
+    WORST-CASE per-stage (max_b_row, max_c_row) so the local stages
+    dispatch to the row-panel kernel (use `plan_route`'s exact per-stage
+    caps via parallel.route for tighter dispatch; VERDICT r2 item 2).
+    Returns (C distributed, total block pairs across all devices).
     """
     n_dev = mesh.shape[axis]
     stage_out_cap = stage_out_cap or out_cap
@@ -168,6 +172,7 @@ def dist_spgemm(
                 b_cur,
                 pair_cap=pair_cap,
                 out_cap=stage_out_cap,
+                row_caps=row_caps,
                 backend=backend,
                 precision=precision,
             )
@@ -269,6 +274,7 @@ def dist_sp2_step(
     backend: str = "auto",
     precision: str = "highest",
     cap: int | None = None,
+    row_caps: tuple | None = None,
 ):
     """One distributed SP2 purification step (the flagship workload of
     BASELINE.json:9 over the mesh): ring-SUMMA X@X with overlapped
@@ -309,7 +315,7 @@ def dist_sp2_step(
             b_nxt = _ppermute_next(b_cur, axis)
             c_s, info = _spgemm(
                 x_loc, b_cur, pair_cap=pair_cap, out_cap=stage_out_cap,
-                backend=backend, precision=precision,
+                row_caps=row_caps, backend=backend, precision=precision,
             )
             c, add_ovf = basic.add_with_info(c, c_s, cap=out_cap)
             pairs = pairs + info.n_block_pairs

@@ -151,3 +151,92 @@ def test_routed_purification_matches_single_device(mesh8):
     assert stats[0]["blocks_routed"] < 0.6 * stats[0]["blocks_ring"]
     scale = max(1.0, np.abs(ref).max())
     assert np.abs(got - ref).max() / scale < 1e-4
+
+
+def test_routed_stage_row_caps_rows_backend(mesh8):
+    """Per-stage row caps (VERDICT r2 item 2): the plan carries exact
+    (max_b_row, max_c_row) per stage and the routed stages produce the
+    same result through the row-panel kernel."""
+    n, b = 512, 16
+    d, A = _b5_style_matrix(n, b, seed=13, extra_random=8)
+    Ad = dist.distribute(A, mesh8)
+    plan = route.plan_route(Ad, Ad, 8)
+    assert len(plan.stage_row_caps) == len(plan.stages)
+    assert all(br >= 1 and cr >= 1 for br, cr in plan.stage_row_caps)
+    C, stats = route.dist_spgemm_routed(
+        Ad, Ad, mesh8, plan, backend="rows"
+    )
+    assert not bool(stats["overflow"])
+    got = np.asarray(hbsm.to_dense(dist.undistribute(C)))
+    np.testing.assert_allclose(got, d @ d, rtol=2e-4, atol=5e-3)
+    # Bucketing rounds row caps too (compile-reuse discipline).
+    bp = route.bucket_plan(plan)
+    for (br, cr), (bbr, bcr) in zip(plan.stage_row_caps,
+                                    bp.stage_row_caps):
+        assert bbr >= br and bcr >= cr
+        assert bbr & (bbr - 1) == 0 and bcr & (bcr - 1) == 0
+
+
+def test_planned_routed_purification(mesh8, monkeypatch):
+    """plan_purify_routed freezes per-step route plans; the planned run
+    does ZERO host replans, matches the unplanned run bit-exactly, and
+    a stale plan is loud (VERDICT r2 item 5)."""
+    n, b = 512, 16
+    nocc = n // 4
+    d, A = _b5_style_matrix(n, b, seed=11)
+    ds = (d + d.T).astype(np.float32) / 2
+    ds = ds / max(1.0, 2 * np.abs(ds).sum(1).max())
+    x0 = (np.eye(n, dtype=np.float32) * 0.55 - ds)
+    X = hbsm.from_dense(x0, block_size=b)
+    n_steps, tau = 3, 1e-7
+    Xd = dist.distribute(X, dist.make_mesh(8))
+
+    plans = route.plan_purify_routed(
+        Xd, mesh8, n_steps, tau, target_trace=nocc, backend="xla"
+    )
+    Yu, _ = route.dist_purify_routed(
+        Xd, mesh8, n_steps, tau, target_trace=nocc, backend="xla"
+    )
+
+    # Planned run: forbid host replanning entirely.
+    def _no_replan(*a, **k):  # pragma: no cover - should never run
+        raise AssertionError("plan_route called during planned run")
+
+    monkeypatch.setattr(route, "plan_route", _no_replan)
+    Yp, stats = route.dist_purify_routed(
+        Xd, mesh8, n_steps, tau, target_trace=nocc, backend="xla",
+        plans=plans,
+    )
+    monkeypatch.undo()
+    for st in stats:
+        assert not bool(st["plan_mismatch"])
+        assert not bool(st["overflow"])
+    np.testing.assert_array_equal(
+        np.asarray(Yp.data), np.asarray(Yu.data)
+    )
+    np.testing.assert_array_equal(np.asarray(Yp.ids), np.asarray(Yu.ids))
+
+    # Stale plan (different structure, same shapes): loud.
+    d2, A2 = _b5_style_matrix(n, b, seed=29, extra_random=40)
+    ds2 = (d2 + d2.T).astype(np.float32) / 2
+    ds2 = ds2 / max(1.0, 2 * np.abs(ds2).sum(1).max())
+    X2 = hbsm.from_dense(
+        np.eye(n, dtype=np.float32) * 0.55 - ds2, block_size=b
+    )
+    X2d = dist.distribute(X2, mesh8)
+    if np.asarray(X2d.ids).shape == np.asarray(Xd.ids).shape:
+        _, st = route.dist_sp2_step_routed(
+            X2d, mesh8, plans.step_plans[0], tau, target_trace=nocc,
+            cap=plans.x_caps[0], backend="xla",
+            expect_ids=plans.x_ids[0],
+        )
+        assert bool(st["plan_mismatch"])
+    else:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            route.dist_sp2_step_routed(
+                X2d, mesh8, plans.step_plans[0], tau, target_trace=nocc,
+                cap=plans.x_caps[0], backend="xla",
+                expect_ids=plans.x_ids[0],
+            )
