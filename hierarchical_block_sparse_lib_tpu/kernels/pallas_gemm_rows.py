@@ -67,14 +67,18 @@ def _bucket(n: int) -> int:
 
 def _tier(b: int, dtype, b_row_max: int, c_row_max: int):
     """(acc_parities, panel_parities) of the largest pipeline tier that
-    fits VMEM, or None.  Tier (2,2) fully double-buffers; (1,2) halves
-    the accumulator (each row waits its own previous flush, a few us);
-    (1,1) also single-buffers B panels (panel fetch no longer hidden —
-    ~20% at b=128, acceptable for the dense-row regimes that need it)."""
+    fits VMEM, or None.  Tiers (2,4)/(2,3) deepen the flow pipeline's
+    fetch lookahead to panel_p-1 blocks (measured neutral on B2 —
+    fetch exposure there is only ~8% by the nofetch ablation — but they
+    cost nothing and cover latency-spiky panel mixes); (2,2) fully
+    double-buffers; (1,2) halves the accumulator (each row waits its
+    own previous flush, a few us); (1,1) also single-buffers B panels
+    (panel fetch no longer hidden — ~20% at b=128, acceptable for the
+    dense-row regimes that need it)."""
     itemsize = jnp.dtype(dtype).itemsize
     bb = _bucket(max(b_row_max, 1))
     cb = _bucket(max(c_row_max, 1))
-    for acc_p, panel_p in ((2, 2), (1, 2), (1, 1)):
+    for acc_p, panel_p in ((2, 4), (2, 3), (2, 2), (1, 2), (1, 1)):
         vmem = (
             panel_p * bb * b * b * itemsize
             + acc_p * cb * b * b * 4
@@ -97,17 +101,36 @@ def supported(b: int, dtype, b_row_max: int, c_row_max: int, nbc: int) -> bool:
 
 def _make_kernel(
     b, b_row_max, c_row_max, nbc, precision, n_rows_grid, out_cap,
-    acc_p, panel_p, filtered, triu, wide, cap_b,
+    acc_p, panel_p, filtered, triu, wide, cap_b, g8,
 ):
-    # Power-of-two DMA sizes covering every bit of any bcnt <= b_row_max.
-    # Clamped by the HBM operand capacity: pl.when branches are traced
-    # unconditionally, and a traced slice larger than the array is a
-    # trace-time error even if never executed.
+    # Continuous cross-row fetch pipeline ("flow"): fetch_e/wait_e depend
+    # only on the global A-block index e (a_col[e] picks the B panel), so
+    # the double-buffer parity can be GLOBAL (e % 2) instead of per-row.
+    # Block e+1 is prefetched at block e's iteration regardless of row
+    # boundaries, removing the first-fetch latency the per-row pipeline
+    # exposes at every grid step (~2-4 us x nbr on narrow random rows —
+    # B2's gap to the dense rate; VERDICT r2 item 7).  The lookahead is
+    # panel_p - 1 (NOT panel_p: the prefetch must never overwrite the
+    # slot being computed from).  triu narrows the panel by the row
+    # index, so syrk keeps the per-row pipeline (wrapper clamps its
+    # panel_p to 2).
+    flow = panel_p >= 2 and not triu
+    # Panel DMA granularity g8: per-descriptor scalar-core issue cost
+    # (~150-250 cycles) dominates narrow-panel regimes (B2: ~2.5 pow2
+    # chunks per ~6-block panel), so panel transfers are rounded UP to
+    # g8-block granularity — ONE descriptor covers any panel <= g8
+    # blocks.  The wrapper pads b_data by g8 blocks so overfetch stays
+    # in bounds; overfetched buffer slots are never read (reads bound
+    # by bcnt).  Power-of-two DMA sizes (all >= g8) cover every g8-bit
+    # of any rounded bcnt <= round_g8(b_row_max); cap_b is the PADDED
+    # operand capacity (pl.when branches are traced unconditionally, so
+    # even never-executed chunk slices must stay in bounds).
+    rb_max = -(-min(b_row_max, cap_b) // g8) * g8
     chunk_sizes = [
         1 << k
-        for k in range(max(min(b_row_max, cap_b).bit_length(), 1))
+        for k in range(g8.bit_length() - 1, max(rb_max.bit_length(), 1))
     ]
-    chunk_sizes.reverse()  # e.g. [16, 8, 4, 2, 1]
+    chunk_sizes.reverse()  # e.g. [16, 8] at g8=8
     # Same for C-row flushes (exact pow2 decomposition: no overstore, so
     # the output is allocated at exactly out_cap and rows never race).
     flush_sizes = [
@@ -146,6 +169,7 @@ def _make_kernel(
             z_sem,  # DMA [] (tail zero-fill)
         ) = rest
         i = pl.program_id(0)
+        a_total = a_row_start_ref[n_rows_grid]
 
         @pl.when(i == 0)
         def _():
@@ -172,12 +196,15 @@ def _make_kernel(
             ).wait()
 
         def panel_op(par, blo, bcnt, do_start):
-            # Power-of-two decomposition of the contiguous B-row slice:
-            # the chunk of size s starts at offset (bcnt & ~(2s-1)).
+            # Power-of-two decomposition of the contiguous B-row slice,
+            # ROUNDED UP to g8 blocks (overfetch <= g8-1 blocks rides the
+            # wrapper's pad): the chunk of size s starts at offset
+            # (rcnt & ~(2s-1)).
+            rcnt = ((bcnt + g8 - 1) // g8) * g8
             for ci, s in enumerate(chunk_sizes):
-                @pl.when((bcnt & s) != 0)
+                @pl.when((rcnt & s) != 0)
                 def _(ci=ci, s=s):
-                    off = bcnt & ~(2 * s - 1)
+                    off = rcnt & ~(2 * s - 1)
                     dma = pltpu.make_async_copy(
                         b_hbm.at[pl.ds(blo + off, s)],
                         b_panel.at[par, pl.ds(off, s)],
@@ -216,6 +243,14 @@ def _make_kernel(
             blo, bcnt = _panel_range(e)
             panel_op(par, blo, bcnt, False)
 
+        if flow:
+            # Prologue of the global fetch chain: the first panel_p - 1
+            # blocks (lookahead depth), block j into parity j.
+            for j in range(panel_p - 1):
+                @pl.when(jnp.logical_and(i == 0, j < a_total))
+                def _(j=j):
+                    fetch_e(j, j)
+
         def flush_op(par, dst_lo, cnt, do_start):
             # Pow2 decomposition of the c_cnt-block flush; for waits the
             # dst offset is irrelevant (the semaphore count is per size).
@@ -239,11 +274,9 @@ def _make_kernel(
         # union slot is defined.  For plain product out_ids the two
         # conditions coincide (a product row implies stored A blocks).
         has_work = c_cnt > 0
+        fpar = jax.lax.rem(state[0], acc_p)
 
-        @pl.when(has_work)
-        def _():
-            fpar = jax.lax.rem(state[0], acc_p)
-
+        def prep_acc():
             # This parity's previous flush must drain before its
             # accumulator is zeroed for reuse.
             @pl.when(state[1 + fpar] > 0)
@@ -260,98 +293,143 @@ def _make_kernel(
 
             jax.lax.fori_loop(0, c_cnt, init_slot, 0)
 
-            if panel_p == 2:
-                fetch_e(0, a_lo)
+        def compute_e(par, e):
+            blo, bcnt = _panel_range(e)
 
-            def eloop(t, _):
-                par = jax.lax.rem(t, panel_p)
-                e = a_lo + t
-
-                if panel_p == 2:
-                    @pl.when(t + 1 < a_cnt)
-                    def _():
-                        fetch_e(1 - par, e + 1)
-                else:
-                    fetch_e(0, e)
-
-                wait_e(par, e)
-                blo, bcnt = _panel_range(e)
-
-                if wide:
-                    # Panel-wide MXU dots (the per-pair dot is issue-bound
-                    # at ~128 cycles/pass on one MXU; a [b, t*b] wide-N dot
-                    # spreads across the chip's MXUs).  The panel holds
-                    # BLOCK-TRANSPOSED B data, so
-                    #   A @ [B_k,j1 | B_k,j2 | ...]
-                    #   = dot(A, stack(B^T blocks), contract lhs1 rhs1).
-                    def chunk(off, csize):
-                        flat = b_panel[par, pl.ds(off, csize)].reshape(
-                            csize * b, b
-                        )
-                        prod = mxu_dot(
-                            a_buf[par], flat, (((1,), (1,)), ((), ()))
-                        )  # [b, csize*b]
-                        # Static unroll: csize is compile-time, so each
-                        # product block is a static lane-slice (Mosaic
-                        # has no dynamic_slice on values).
-                        for idx in range(csize):
-                            pos = jnp.clip(
-                                postable[b_col_ref[blo + off + idx]],
-                                0, c_row_max - 1,
-                            )
-                            acc[fpar, pos] += prod[:, idx * b:(idx + 1) * b]
-
-                    # Fixed-size 8-panels + pow2 tail cover any bcnt with
-                    # bounded SSA value sizes (prod <= [b, 8b] = 512 KB).
-                    n8 = bcnt // 8
-
-                    def body8(t8, _):
-                        chunk(t8 * 8, 8)
-                        return 0
-
-                    jax.lax.fori_loop(0, n8, body8, 0)
-                    for s_ in (4, 2, 1):
-                        @pl.when((bcnt & s_) != 0)
-                        def _(s_=s_):
-                            off = (bcnt & ~(s_ - 1)) - s_
-                            chunk(off, s_)
-                    return 0
-
-                def dotloop(t2, _):
-                    def compute():
-                        prod = mxu_dot(
-                            a_buf[par],
-                            b_panel[par, t2],
-                            (((1,), (0,)), ((), ())),
-                        )
+            if wide:
+                # Panel-wide MXU dots (the per-pair dot is issue-bound
+                # at ~128 cycles/pass on one MXU; a [b, t*b] wide-N dot
+                # spreads across the chip's MXUs).  The panel holds
+                # BLOCK-TRANSPOSED B data, so
+                #   A @ [B_k,j1 | B_k,j2 | ...]
+                #   = dot(A, stack(B^T blocks), contract lhs1 rhs1).
+                def chunk(off, csize):
+                    flat = b_panel[par, pl.ds(off, csize)].reshape(
+                        csize * b, b
+                    )
+                    prod = mxu_dot(
+                        a_buf[par], flat, (((1,), (1,)), ((), ()))
+                    )  # [b, csize*b]
+                    # Static unroll: csize is compile-time, so each
+                    # product block is a static lane-slice (Mosaic
+                    # has no dynamic_slice on values).
+                    for idx in range(csize):
                         pos = jnp.clip(
-                            postable[b_col_ref[blo + t2]], 0, c_row_max - 1
+                            postable[b_col_ref[blo + off + idx]],
+                            0, c_row_max - 1,
                         )
-                        acc[fpar, pos] += prod
+                        acc[fpar, pos] += prod[:, idx * b:(idx + 1) * b]
 
-                    # triu needs no per-pair check here: _panel_range
-                    # already narrowed the panel to the j >= i suffix.
-                    if filtered:
-                        # Skip the MXU work for pairs below the SpAMM
-                        # bound — the exact comparison the symbolic
-                        # phase used, so out_ids stays consistent.
-                        @pl.when(an2_ref[e] * bn2_ref[blo + t2] > tau2_ref[0])
-                        def _():
-                            compute()
-                    else:
-                        compute()
+                # Fixed-size 8-panels + pow2 tail cover any bcnt with
+                # bounded SSA value sizes (prod <= [b, 8b] = 512 KB).
+                n8 = bcnt // 8
+
+                def body8(t8, _):
+                    chunk(t8 * 8, 8)
                     return 0
 
-                jax.lax.fori_loop(0, bcnt, dotloop, 0)
+                jax.lax.fori_loop(0, n8, body8, 0)
+                for s_ in (4, 2, 1):
+                    @pl.when((bcnt & s_) != 0)
+                    def _(s_=s_):
+                        off = (bcnt & ~(s_ - 1)) - s_
+                        chunk(off, s_)
+                return
+
+            def dotloop(t2, _):
+                def compute():
+                    prod = mxu_dot(
+                        a_buf[par],
+                        b_panel[par, t2],
+                        (((1,), (0,)), ((), ())),
+                    )
+                    pos = jnp.clip(
+                        postable[b_col_ref[blo + t2]], 0, c_row_max - 1
+                    )
+                    acc[fpar, pos] += prod
+
+                # triu needs no per-pair check here: _panel_range
+                # already narrowed the panel to the j >= i suffix.
+                if filtered:
+                    # Skip the MXU work for pairs below the SpAMM
+                    # bound — the exact comparison the symbolic
+                    # phase used, so out_ids stays consistent.
+                    @pl.when(an2_ref[e] * bn2_ref[blo + t2] > tau2_ref[0])
+                    def _():
+                        compute()
+                else:
+                    compute()
                 return 0
 
-            jax.lax.fori_loop(0, a_cnt, eloop, 0)
+            jax.lax.fori_loop(0, bcnt, dotloop, 0)
 
+        def run_flush():
             # Exact-size flush: rows' slot ranges are disjoint, so
             # flushes from different rows never race.
             flush_op(fpar, c_lo, c_cnt, True)
             state[1 + fpar] = c_cnt
             state[0] = state[0] + 1
+
+        if flow:
+            # The fetch chain is global: block 0 is fetched by the i==0
+            # prologue (above), block e+1 by block e's iteration.  The
+            # chain must advance through EVERY stored A block, including
+            # rows whose product support is empty (all matching B rows
+            # empty -> c_cnt == 0): the eloop runs on a_cnt > 0, only
+            # the accumulation is gated on has_work.
+            @pl.when(has_work)
+            def _():
+                prep_acc()
+
+            @pl.when(a_cnt > 0)
+            def _():
+                def eloop(t, _):
+                    e = a_lo + t
+                    par = jax.lax.rem(e, panel_p)
+                    nxt = e + panel_p - 1
+
+                    @pl.when(nxt < a_total)
+                    def _():
+                        fetch_e(jax.lax.rem(nxt, panel_p), nxt)
+
+                    wait_e(par, e)
+
+                    @pl.when(has_work)
+                    def _():
+                        compute_e(par, e)
+
+                    return 0
+
+                jax.lax.fori_loop(0, a_cnt, eloop, 0)
+
+            @pl.when(has_work)
+            def _():
+                run_flush()
+        else:
+            @pl.when(has_work)
+            def _():
+                prep_acc()
+
+                if panel_p == 2:
+                    fetch_e(0, a_lo)
+
+                def eloop(t, _):
+                    par = jax.lax.rem(t, panel_p)
+                    e = a_lo + t
+
+                    if panel_p == 2:
+                        @pl.when(t + 1 < a_cnt)
+                        def _():
+                            fetch_e(1 - par, e + 1)
+                    else:
+                        fetch_e(0, e)
+
+                    wait_e(par, e)
+                    compute_e(par, e)
+                    return 0
+
+                jax.lax.fori_loop(0, a_cnt, eloop, 0)
+                run_flush()
 
         @pl.when(i == n_rows_grid - 1)
         def _():
@@ -479,6 +557,9 @@ def rows_spgemm(
             "use the stream backend"
         )
     acc_p, panel_p = tier
+    if triu:
+        # The per-row (non-flow) pipeline only supports 1-2 parities.
+        panel_p = min(panel_p, 2)
     filtered = a_norms2 is not None
     if wide is None:
         # Wide dots win when panels are wide enough to amortize the
@@ -494,12 +575,27 @@ def rows_spgemm(
         # one dot(A, panel, contract lhs1/rhs1) = A @ [B_kj | ...].
         # One fused XLA pass over B, amortized over all pairs.
         b_data = jnp.swapaxes(b_data, -1, -2)
+    # Panel-DMA granularity (see _make_kernel).  g8 > 1 trades overfetch
+    # traffic for fewer descriptors; MEASURED on B2 (16384^2, 5%): the
+    # regime is HBM-bandwidth-bound, g8=8's ~1.7-block/panel overfetch
+    # plus the pad pass cost +15% — so exact fetching (g8=1) stays the
+    # default and the machinery is kept for issue-bound future regimes.
+    g8 = 1
+    if g8 > 1:
+        # Pad B by g8 blocks so g8-rounded panel fetches stay in bounds
+        # (fuses with the wide-mode transpose pass).
+        b_data = jnp.concatenate(
+            [b_data, jnp.zeros((g8,) + b_data.shape[1:], b_data.dtype)]
+        )
     kernel = _make_kernel(
         b, b_row_max, c_row_max, nbc, precision, nbr, out_cap, acc_p,
-        panel_p, filtered, triu, wide, b_data.shape[0],
+        panel_p, filtered, triu, wide, b_data.shape[0], g8,
     )
     vma = getattr(jax.typeof(a_data), "vma", frozenset())
-    n_chunk_sizes = max(min(b_row_max, b_data.shape[0]).bit_length(), 1)
+    _rb_max = -(-min(b_row_max, b_data.shape[0]) // g8) * g8
+    n_chunk_sizes = max(
+        max(_rb_max.bit_length(), 1) - (g8.bit_length() - 1), 1
+    )
     n_flush_sizes = max(min(c_row_max, out_cap).bit_length(), 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6 + (3 if filtered else 0),
