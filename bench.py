@@ -447,8 +447,56 @@ def main():
             results["B1"]["band_time_s"] = dtb
             results["B1"]["band_honest_gflops"] = honest
 
+        def _roll():
+            # Big-band A/B: rolling-window (v5) vs row-panel (v3) on the
+            # one shape v5 measured a win (VERDICT r2 item 4; full study
+            # in scripts/bench_roll.py: +10% here, -15% at 32768 same
+            # band — hence v5 is explicit-only, never auto-dispatched).
+            import dataclasses as _dc
+
+            import hierarchical_block_sparse_lib_tpu as hbsm
+            from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_roll import (
+                plan_roll,
+            )
+            from hierarchical_block_sparse_lib_tpu.ops.spgemm import (
+                plan_spgemm_ex,
+            )
+
+            A = banded_block_matrix(16384, 512, 128)
+            pc, oc, mbr, mcr = plan_spgemm_ex(A, A)
+            rplan = plan_roll(A, A)
+            out = {}
+            for be, kw in (
+                ("rows", {}),
+                ("roll", {"roll_caps": rplan.caps} if rplan else None),
+            ):
+                if kw is None:
+                    continue
+
+                def build(d, be=be, kw=kw):
+                    m = _dc.replace(A, data=d)
+                    C, _ = hbsm.spgemm(
+                        m, m, pair_cap=pc, out_cap=oc,
+                        row_caps=(mbr, mcr), precision=args.precision,
+                        backend=be, **kw,
+                    )
+                    return C.data
+
+                dt = bench_chained(build, A.data, Ks=(2, 10))
+                out[be] = dt
+                log(
+                    f"B1-band16384 hw512 {be:5s}: t={dt*1e3:.2f} ms "
+                    f"({dt/pc*1e9:.0f} ns/pair)"
+                )
+            if "roll" in out:
+                log(
+                    f"B1-band16384 roll vs rows: {out['rows']/out['roll']:.2f}x"
+                )
+                results["roll_big_band"] = out
+
         for stage in (
             _b1,
+            _roll,
             lambda: results.__setitem__("B3", bench_truncation_pipeline()),
             # B4 warm-up scale (single row-panel kernel call)...
             lambda: results.__setitem__(

@@ -36,30 +36,27 @@ def matmul(
     from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_groups import (
         plan_groups,
     )
-    from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_roll import (
-        plan_roll,
-    )
 
     ae = basic.transpose(a) if transpose_a else a
     be = basic.transpose(b) if transpose_b else b
     pc, oc, mbr, mcr = plan_spgemm_ex(ae, be)
-    # Local structures get a row-group plan: auto dispatch then takes
-    # the B-slab-reuse kernel.  Only profitable where per-row panels are
-    # narrow or the structure is large (measured: banded mid-sizes with
-    # >=5-wide panels run ~25% faster on the rows kernel) — gate on the
-    # narrow-panel case the rows kernel handles worst.  Monotone bands
-    # additionally get a rolling-window plan (v5: tail-append B traffic
-    # instead of whole per-group slabs) when it strictly cuts fetches.
+    # Slab kernels (groups v4 / roll v5) pay only in the OVERHEAD-
+    # dominated regime: few pairs per block-row, where the per-row grid
+    # cost of the rows kernel can't amortize.  Hardware A/B (round 3,
+    # f32-highest, after the rows kernel's cross-row flow pipeline):
+    #   pairs/row  8.7 (B1 banded)      -> groups wins 1.51x
+    #   pairs/row 24.6 (16384, hw=256)  -> rows wins 1.18x
+    #   pairs/row ~79  (hw=512, two n)  -> rows wins or ties
+    # Big bands are MXU-pass-bound, not B-traffic-bound (DESIGN.md
+    # section 8 ablations), so predicted traffic reduction does NOT
+    # translate to time there.  The rolling-window kernel never won
+    # consistently (one +10%, one -15% at the same pairs/row) and is
+    # therefore never auto-selected; pass backend='roll' +
+    # roll_caps=plan_roll(...).caps explicitly to use it
+    # (scripts/bench_roll.py keeps the A/B honest).
     gplan = rplan = None
-    if mbr < 5 or pc >= 4096:
+    if pc < 16 * max(ae.nb_rows, 1):
         gplan = plan_groups(ae, be)
-        rplan = plan_roll(ae, be)
-        if (
-            rplan is not None
-            and gplan is not None
-            and rplan.traffic >= gplan.slab_blocks
-        ):
-            rplan = None  # window no smaller than the slabs: keep v4
     return spgemm(
         ae,
         be,
