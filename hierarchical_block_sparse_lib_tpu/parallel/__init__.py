@@ -9,8 +9,17 @@
   exact per-stage panel exchange shipping only the blocks each
   destination's products touch, with routed SpGEMM and routed SP2
   purification (`dist_sp2_step_routed` / `dist_purify_routed`).
+- `route2`: two-level host x chip routing (SURVEY.md section 6.8
+  ICI/DCN hierarchy) — union shares cross the "host" axis (DCN) once
+  per destination host, then rebroadcast intra-host over the "chip"
+  axis (ICI all_gather); per-level traffic evidence in `Route2Plan`.
 """
 
-from hierarchical_block_sparse_lib_tpu.parallel import dist, dist2d, route
+from hierarchical_block_sparse_lib_tpu.parallel import (
+    dist,
+    dist2d,
+    route,
+    route2,
+)
 
-__all__ = ["dist", "dist2d", "route"]
+__all__ = ["dist", "dist2d", "route", "route2"]
