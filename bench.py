@@ -259,6 +259,39 @@ def bench_dense_equiv(n, Ks=(2, 6), precision="highest"):
     return dt, gflops
 
 
+def bench_dense_colslab(n, n_slabs, Ks=(2, 6), precision="highest"):
+    """Same-size dense anchor for B4full (VERDICT r2 item 6): the full
+    [n,n]@[n,n] product does NOT fit HBM chained at n=32768 (measured
+    RESOURCE_EXHAUSTED), so the honest same-size dense comparison is the
+    slab-wise dense product — n_slabs matmuls [n,n]@[n,n/n_slabs], A
+    resident — which is exactly how a dense 32768^2 product runs on a
+    16 GB chip and mirrors the sparse slab tier's schedule."""
+    import jax
+    import jax.numpy as jnp
+
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT}[precision]
+    w = n // n_slabs
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((n, n)).astype(np.float32)
+    ) * 1e-2
+
+    def build(d):
+        # The slab is a SLICE of the chained input: no multi-GB closure
+        # constant in the compiled chain (a captured [n, n] resident
+        # operand measured 4.3 GB of lowered constants).
+        return jnp.matmul(d, d[:, :w], precision=prec) * 1e-2
+
+    dt_slab = bench_chained(build, x, Ks)
+    dt = dt_slab * n_slabs
+    gflops = 2 * n**3 / dt / 1e9
+    log(
+        f"dense {n}x{n} ({precision}, {n_slabs} slabs): "
+        f"t={dt*1e3:.1f} ms -> {gflops:.0f} GFLOP/s"
+    )
+    return dt, gflops
+
+
 def bench_truncation_pipeline(Ks=(2, 8)):
     """B3: repeated C = A*A with norm-based dropping (BASELINE.json:9),
     5 SP2 steps per iteration, fully on-device (purify_scan)."""
@@ -494,6 +527,16 @@ def main():
                 )
                 results["roll_big_band"] = out
 
+        def _b4_anchor():
+            # Same-size dense anchor (BASELINE.json:10 "vs pure dense
+            # GEMM"): slab-wise since the full square OOMs chained.
+            dtd, _ = bench_dense_colslab(
+                32768, 8, Ks=(1, 3), precision=args.precision
+            )
+            vs = dtd / results["B4full"]["time_s"]
+            results["B4full"]["vs_dense"] = vs
+            log(f"B4full(32768) vs same-size dense: {vs:.1f}x faster")
+
         for stage in (
             _b1,
             _roll,
@@ -517,6 +560,7 @@ def main():
                     precision=args.precision,
                 ),
             ),
+            _b4_anchor,
         ):
             try:
                 stage()

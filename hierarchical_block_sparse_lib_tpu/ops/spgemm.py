@@ -202,6 +202,16 @@ class SymbolicPlan:
     pos_acc: jax.Array | None = None  # int32[acc_cap] accum -> union slot
     n_unique: jax.Array | None = None  # int32[] distinct union blocks
     acc_ids: jax.Array | None = None  # int32[acc_cap] planned accum ids
+    # Optional symmetric-mirror structure (make_plan(sym_mirror=True)):
+    # for a SYMMETRIC product structure, mirror_src[j] is the union slot
+    # holding the transpose of slot j's block (own index for
+    # upper/diagonal slots); total_syrk counts the upper-triangle pairs
+    # (the GEMMs the syrk_upper kernel actually runs).  mirror_ok is
+    # False when the union id set was not symmetric (stale/asymmetric
+    # plan — folded into plan_mismatch, never silent).
+    mirror_src: jax.Array | None = None  # int32[out_cap]
+    total_syrk: jax.Array | None = None  # int32[]
+    mirror_ok: jax.Array | None = None  # bool[]
 
 
 def make_plan(
@@ -213,6 +223,7 @@ def make_plan(
     syrk_upper: bool = False,
     accum_ids: jax.Array | None = None,
     out_cap: int | None = None,
+    sym_mirror: bool = False,
 ) -> SymbolicPlan:
     """Run the symbolic phase once and package it for reuse via
     ``spgemm(..., plan=...)``.  Valid while both operands' id arrays are
@@ -223,7 +234,17 @@ def make_plan(
     With `accum_ids` (the accumulator's sorted id array) and `out_cap`,
     the beta-accumulate union structure is precomputed as well — the
     matching ``spgemm(..., plan=..., accum=...)`` call must use the same
-    `out_cap` and an accumulator with exactly these ids."""
+    `out_cap` and an accumulator with exactly these ids.
+
+    With `sym_mirror=True` (requires accum_ids/out_cap; operands and
+    union structurally SYMMETRIC), the plan additionally carries the
+    mirror map for the planned-symmetric multiply: the caller runs
+    ``spgemm(..., plan=..., syrk_upper=True)`` — generic union slots,
+    upper-triangle GEMMs only on the TPU kernel — then overwrites the
+    strictly-lower slots with transposed upper blocks via `mirror_src`
+    (one gather, zero structural ops; see models.purification.sp2_step
+    symmetric+plan).  NOTE this differs from `syrk_upper=True` here,
+    which would build UPPER-ONLY pair lists and output structure."""
     sym = spgemm_symbolic(
         a, b, pair_cap, tau=tau, filter_by_norm=filter_by_norm,
         syrk_upper=syrk_upper,
@@ -232,15 +253,48 @@ def make_plan(
     # symbolic phase saw; spgemm compares after its own transpose step.
     rec = dict(a_ids=a.ids, b_ids=b.ids)
     if accum_ids is None:
+        if sym_mirror:
+            raise ValueError("sym_mirror requires accum_ids/out_cap")
         return SymbolicPlan(*sym, **rec)
     if out_cap is None:
         raise ValueError("make_plan(accum_ids=...) requires out_cap")
     out_ids, seg, pos_acc, n_unique = basic.union_merge(
         sym[2], accum_ids, out_cap
     )
+    mirror = {}
+    if sym_mirror:
+        if a.n_rows != a.n_cols:
+            raise ValueError("sym_mirror needs a square matrix")
+        nb = a.nb_rows
+        c_id = sym[2]
+        cv = c_id != SENTINEL
+        crow = jnp.where(cv, c_id // nb, 0)
+        ccol = jnp.where(cv, c_id % nb, 0)
+        total_syrk = jnp.sum(cv & (crow <= ccol)).astype(jnp.int32)
+        ov = out_ids != SENTINEL
+        orow = jnp.where(ov, out_ids // nb, 0)
+        ocol = jnp.where(ov, out_ids % nb, 0)
+        mid = jnp.where(ov, ocol * nb + orow, SENTINEL).astype(jnp.int32)
+        src = jnp.searchsorted(
+            out_ids, mid, side="left", method="sort"
+        ).astype(jnp.int32)
+        src = jnp.clip(src, 0, out_ids.shape[0] - 1)
+        lower = ov & (orow > ocol)
+        # Asymmetric union (no transpose partner stored) is a plan bug
+        # or structural asymmetry: loud via mirror_ok.
+        mirror_ok = jnp.all(
+            jnp.where(lower, out_ids[src] == mid, True)
+        )
+        mirror = dict(
+            mirror_src=jnp.where(lower, src, jnp.arange(
+                out_ids.shape[0], dtype=jnp.int32
+            )),
+            total_syrk=total_syrk,
+            mirror_ok=mirror_ok,
+        )
     return SymbolicPlan(
         *sym, **rec, out_ids=out_ids, seg=seg, pos_acc=pos_acc,
-        n_unique=n_unique, acc_ids=accum_ids,
+        n_unique=n_unique, acc_ids=accum_ids, **mirror,
     )
 
 

@@ -105,14 +105,15 @@ def plan_route_2level(
     b_nbc = b.nb_cols
     sent = int(SENTINEL)
 
-    need_rows = []
+    # Membership bitmaps (see route.plan_route: O(nnz) lookups instead
+    # of per-pair np.isin; the P^2 C++ planner calls dominate).
+    need_mask = np.zeros((P_, b.nb_rows), bool)
     for d in range(P_):
         ids = a_ids[d][a_ids[d] != sent]
-        need_rows.append(np.unique(ids % a_nbc))
-    need_rows_host = [
-        np.unique(np.concatenate([need_rows[h * C + c] for c in range(C)]))
-        for h in range(H)
-    ]
+        need_mask[d, np.unique(ids % a_nbc)] = True
+    need_mask_host = np.stack(
+        [need_mask[h * C:(h + 1) * C].any(axis=0) for h in range(H)]
+    )
     b_rows_local = [
         (b_ids[s][b_ids[s] != sent] // b_nbc) for s in range(P_)
     ]
@@ -124,9 +125,7 @@ def plan_route_2level(
         for s in range(P_):
             d = (s - t) % P_
             if d // C != s // C:
-                dcn_flat += int(
-                    np.isin(b_rows_local[s], need_rows[d]).sum()
-                )
+                dcn_flat += int(need_mask[d, b_rows_local[s]].sum())
 
     # Two-level shares: raw[ht][s] = local indices s sends toward host
     # (host(s) - ht) mod H.
@@ -135,7 +134,7 @@ def plan_route_2level(
     for ht in range(H):
         for s in range(P_):
             hd = (s // C - ht) % H
-            sel = np.isin(b_rows_local[s], need_rows_host[hd])
+            sel = need_mask_host[hd, b_rows_local[s]]
             idx = np.nonzero(sel)[0].astype(np.int32)
             raw[ht][s] = idx
             stage_sizes[ht] += idx.size

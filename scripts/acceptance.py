@@ -112,6 +112,50 @@ def b3_purification():
     check("B3 purification 1024^2 -> spectral projector (fro)", rel, 1e-4)
 
 
+def b4_near_dense():
+    """B4 (BASELINE.json:10) numerics at the warm-up scale (8192^2, 50%
+    block density) through BOTH the row-panel path and the column-slab
+    tier that runs the configured 32768^2 (VERDICT r2 item 6: B4 had no
+    acceptance numerics check).  The f64 oracle at 32768^2 needs ~26 GB
+    of host RAM, so the slab TIER is validated here at the same density
+    on the same code path."""
+    from hierarchical_block_sparse_lib_tpu.ops.slab import (
+        plan_colslab,
+        spgemm_colslab,
+    )
+
+    n, b, dens = 8192, 128, 0.5
+    nb = n // b
+    nblk = int(dens * nb * nb)
+    r = np.random.default_rng(42)
+    ids = np.sort(r.choice(nb * nb, nblk, replace=False)).astype(np.int32)
+    data = r.standard_normal((nblk, b, b)).astype(np.float32) * 0.1
+    A = hbsm.BlockMatrix(
+        ids=jnp.asarray(ids), data=jnp.asarray(data),
+        nnz=jnp.asarray(nblk, jnp.int32),
+        n_rows=n, n_cols=n, block_size=b,
+    )
+    dA = np.asarray(hbsm.to_dense(A)).astype(np.float64)
+    exact = dA @ dA
+    scale = np.abs(exact).max()
+
+    pc, oc, mbr, mcr = plan_spgemm_ex(A, A)
+    C, info = hbsm.spgemm(A, A, pair_cap=pc, out_cap=oc, row_caps=(mbr, mcr))
+    assert not bool(info.pair_overflow) and not bool(info.out_overflow)
+    rel = np.abs(
+        np.asarray(hbsm.to_dense(C)).astype(np.float64) - exact
+    ).max()
+    check("B4 near-dense 8192^2 50% (row-panel)", rel / scale)
+
+    plan = plan_colslab(A, A, 4)
+    Cs, info_s = spgemm_colslab(A, A, plan=plan)
+    assert not bool(np.asarray(info_s.pair_overflow).any())
+    rel_s = np.abs(
+        np.asarray(hbsm.to_dense(Cs)).astype(np.float64) - exact
+    ).max()
+    check("B4 column-slab tier (4 slabs)", rel_s / scale)
+
+
 def precision_modes():
     n, bw = 1024, 48
     r, c, v = gen.banded_coo(n, bw, seed=0)
@@ -135,5 +179,6 @@ if __name__ == "__main__":
     b1_banded()
     b2_chain()
     b3_purification()
+    b4_near_dense()
     precision_modes()
     print("ALL ACCEPTANCE CHECKS PASSED")
