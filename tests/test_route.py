@@ -188,7 +188,7 @@ def test_planned_routed_purification(mesh8, monkeypatch):
     ds = ds / max(1.0, 2 * np.abs(ds).sum(1).max())
     x0 = (np.eye(n, dtype=np.float32) * 0.55 - ds)
     X = hbsm.from_dense(x0, block_size=b)
-    n_steps, tau = 3, 1e-7
+    n_steps, tau = 2, 1e-7
     Xd = dist.distribute(X, dist.make_mesh(8))
 
     plans = route.plan_purify_routed(
