@@ -533,13 +533,54 @@ def main():
             dtd, _ = bench_dense_colslab(
                 32768, 8, Ks=(1, 3), precision=args.precision
             )
+            if "B4full" not in results:
+                log("B4full missing (stage failed) — anchor recorded alone")
+                results["B4_dense_anchor_s"] = dtd
+                return
             vs = dtd / results["B4full"]["time_s"]
             results["B4full"]["vs_dense"] = vs
             log(f"B4full(32768) vs same-size dense: {vs:.1f}x faster")
 
+        def _routed_1dev():
+            # Routed-exchange stage speed on a single-device mesh
+            # (VERDICT r2 item 2 done-criterion): the per-stage row caps
+            # must put the shard_map local multiply on the row-panel
+            # kernel — time ~= the plain planned multiply, NOT the
+            # per-pair stream kernel's.
+            import dataclasses as _dc
+
+            import jax as _jax
+            from jax.sharding import Mesh
+
+            import numpy as _np
+            from hierarchical_block_sparse_lib_tpu.parallel import (
+                dist, route,
+            )
+
+            mesh1 = Mesh(_np.asarray(_jax.devices()[:1]), ("p",))
+            Ad = dist.distribute(A2, mesh1)
+            plan = route.plan_route(Ad, Ad, 1)
+
+            def build(d):
+                m = _dc.replace(Ad, data=d)
+                C, _ = route.dist_spgemm_routed(
+                    m, m, mesh1, plan, precision=args.precision
+                )
+                return C.data
+
+            dt = bench_chained(build, Ad.data, Ks=(5, 45))
+            base = results["B2"]["time_planned_s"]
+            log(
+                f"B2 routed 1-dev mesh (row-caps kernel dispatch): "
+                f"t={dt*1e3:.2f} ms vs planned local {base*1e3:.2f} ms "
+                f"({dt/base:.2f}x)"
+            )
+            results["B2"]["routed_1dev_s"] = dt
+
         for stage in (
             _b1,
             _roll,
+            _routed_1dev,
             lambda: results.__setitem__("B3", bench_truncation_pipeline()),
             # B4 warm-up scale (single row-panel kernel call)...
             lambda: results.__setitem__(
@@ -562,10 +603,15 @@ def main():
             ),
             _b4_anchor,
         ):
-            try:
-                stage()
-            except Exception as e:  # noqa: BLE001 - never lose the JSON
-                log(f"stage failed: {e!r}")
+            # One retry: the axon remote-compile relay occasionally
+            # drops a response mid-read (measured: "response body closed
+            # before all bytes were read" killed B4full once).
+            for attempt in (0, 1):
+                try:
+                    stage()
+                    break
+                except Exception as e:  # noqa: BLE001 - never lose JSON
+                    log(f"stage failed (attempt {attempt}): {e!r}")
 
     b2 = results["B2"]
     # vs_baseline: sparse wall time vs dense wall time for the same
