@@ -75,6 +75,11 @@ class RoutePlan:
     stage_row_caps: tuple
     # Exact per-device result capacity (max over devices) and totals.
     out_cap: int
+    # Max blocks in any row of the final per-device UNION result — the
+    # c-side row cap for the fused per-stage accumulate (stage products
+    # land in union slots, so the kernel's accumulator rows must cover
+    # the union, not just the stage).
+    union_c_row_max: int
     total_pairs: int
     per_device_pairs: tuple  # len P — load-balance evidence
     # Traffic accounting (blocks of b*b elements).
@@ -128,6 +133,7 @@ def bucket_plan(plan: RoutePlan) -> RoutePlan:
             for br, cr in plan.stage_row_caps
         ),
         out_cap=_next_pow2(plan.out_cap),
+        union_c_row_max=_next_pow2(plan.union_c_row_max),
     )
 
 
@@ -209,8 +215,10 @@ def plan_route(a: BlockMatrix, b: BlockMatrix, n_dev: int) -> RoutePlan:
         stage_row_caps.append((max(br_t, 1), max(cr_t, 1)))
 
     # Exact final output capacity per device: full local plan against the
-    # union of everything that device receives.
+    # union of everything that device receives (plan_spgemm_ex also
+    # yields the union's max row width for the fused-accumulate c cap).
     out_cap = 1
+    union_cr = 1
     for d in range(n_dev):
         recv_ids = []
         for t in stages:
@@ -223,11 +231,12 @@ def plan_route(a: BlockMatrix, b: BlockMatrix, n_dev: int) -> RoutePlan:
             if recv_ids
             else np.empty(0, np.int32)
         )
-        _, n_out = native.plan_spgemm(
+        _, n_out, _, u_cr = native.plan_spgemm_ex(
             a_ids[d], allb, a_nbc, b.nb_rows, b_nbc
         )
         per_dev_outs[d] = n_out
         out_cap = max(out_cap, n_out)
+        union_cr = max(union_cr, u_cr)
 
     # Ring baseline traffic: every stage ships every source's full shard.
     nnz_b = int((b_ids != sent).sum())
@@ -239,12 +248,100 @@ def plan_route(a: BlockMatrix, b: BlockMatrix, n_dev: int) -> RoutePlan:
         stage_out_caps=tuple(stage_out_caps),
         stage_row_caps=tuple(stage_row_caps),
         out_cap=int(out_cap),
+        union_c_row_max=int(union_cr),
         total_pairs=int(per_dev_pairs.sum()),
         per_device_pairs=tuple(int(x) for x in per_dev_pairs),
         blocks_routed=int(blocks_routed),
         blocks_ring=int((n_dev - 1) * nnz_b),
         per_stage_blocks=tuple(per_stage_blocks),
     )
+
+
+@dataclass(frozen=True)
+class FrozenRoutePlan:
+    """Per-(stage, device) frozen symbolic plans for the routed SpGEMM:
+    every stage of `dist_spgemm_routed` then runs NUMERIC-ONLY (no
+    symbolic sorts, no union merge — the same plan tier the single-chip
+    `make_plan` path has), at per-stage exact capacities.  Built by
+    `freeze_route_plan`; valid while both distributed operands keep
+    their id structure (self-checked per stage via plan_mismatch)."""
+
+    route: RoutePlan
+    # Per kept stage: a SymbolicPlan whose every array leaf carries a
+    # leading [P] device axis (sharded over the mesh axis at use).
+    stage_plans: tuple
+
+
+def freeze_route_plan(
+    a: BlockMatrix, b: BlockMatrix, plan: RoutePlan
+) -> FrozenRoutePlan:
+    """Freeze the per-stage symbolic structure of a routed SpGEMM.
+
+    For each kept stage k and device d, runs the REAL `make_plan`
+    against d's local A and the exact panel d receives at stage k, with
+    the running per-device union as the accumulator structure — so the
+    frozen chain reproduces `_routed_stages`' fused accumulates
+    bit-exactly (stage k's union out_ids feed stage k+1's accum check).
+    One-time eager cost (P x stages make_plan calls); the SCF /
+    fixed-structure regime amortizes it."""
+    from hierarchical_block_sparse_lib_tpu.ops.spgemm import make_plan
+
+    n_dev = plan.n_dev
+    a_ids = np.asarray(a.ids)
+    b_ids = np.asarray(b.ids)
+    out_cap = plan.out_cap
+    sent = int(SENTINEL)
+    b_local_blocks = b.data.shape[-1]
+
+    stage_plans = []
+    # Running per-device union structure (the accumulator each stage
+    # sees), starting from the empty accumulator of `_routed_stages`.
+    u_ids = [
+        jnp.full((out_cap,), SENTINEL, jnp.int32) for _ in range(n_dev)
+    ]
+    dummy = jnp.zeros((1, b_local_blocks, b_local_blocks), b.dtype)
+    for k, t in enumerate(plan.stages):
+        per_dev = []
+        for d in range(n_dev):
+            s = (d + t) % n_dev
+            idx = plan.send_idx[k][s]
+            valid = idx >= 0
+            pan = np.where(
+                valid, b_ids[s][np.maximum(idx, 0)], sent
+            ).astype(np.int32)
+            a_d = BlockMatrix(
+                ids=jnp.asarray(a_ids[d]),
+                data=jnp.broadcast_to(
+                    dummy, (a_ids[d].shape[0],) + dummy.shape[1:]
+                ),
+                nnz=jnp.asarray(int((a_ids[d] != sent).sum()), jnp.int32),
+                n_rows=a.n_rows,
+                n_cols=a.n_cols,
+                block_size=a.block_size,
+            )
+            pan_m = BlockMatrix(
+                ids=jnp.asarray(pan),
+                data=jnp.broadcast_to(
+                    dummy, (pan.shape[0],) + dummy.shape[1:]
+                ),
+                nnz=jnp.asarray(int((pan != sent).sum()), jnp.int32),
+                n_rows=b.n_rows,
+                n_cols=b.n_cols,
+                block_size=b.block_size,
+            )
+            pl = make_plan(
+                a_d,
+                pan_m,
+                plan.stage_pair_caps[k],
+                accum_ids=u_ids[d],
+                out_cap=out_cap,
+            )
+            u_ids[d] = pl.out_ids
+            per_dev.append(pl)
+        stage_plans.append(
+            jax.tree.map(lambda *v: jnp.stack(v), *per_dev)
+        )
+    return FrozenRoutePlan(route=plan, stage_plans=tuple(stage_plans))
 
 
 def _routed_stages(
@@ -257,6 +354,7 @@ def _routed_stages(
     precision: str,
     axis: str,
     n_dev: int,
+    stage_plans=None,
 ):
     """Shared inner stage loop (inside shard_map): software-pipelined
     routed panel exchange + per-stage local SpGEMM + union accumulate.
@@ -306,25 +404,41 @@ def _routed_stages(
             n_cols=b_loc.n_cols,
             block_size=b_loc.block_size,
         )
-        c_s, info = spgemm(
+        # FUSED accumulate (round 3): C = A@panel + 1.0*C in one pass at
+        # the final union capacity, instead of a stage-sized multiply
+        # followed by a sort-based union add — the separate
+        # add_with_info made a routed 1-device stage 5.2x slower than
+        # the plain multiply; fused it is ~2.9x, and with frozen stage
+        # plans (`freeze_route_plan`: numeric-only stages, no symbolic
+        # sorts or union merges) ~1.6x — the residue is the panel pack
+        # gather and the union-slot accumulate pass.
+        c, info = spgemm(
             a_loc,
             b_recv,
             pair_cap=plan.stage_pair_caps[k],
-            out_cap=plan.stage_out_caps[k],
+            out_cap=out_cap,
             # Exact per-stage row caps: auto-dispatch picks the row-panel
             # kernel instead of the per-pair stream kernel whenever it
             # fits (2-4x on real TPU; VERDICT r2 item 2).
             row_caps=(
-                plan.stage_row_caps[k] if plan.stage_row_caps else None
+                (plan.stage_row_caps[k][0], plan.union_c_row_max)
+                if plan.stage_row_caps
+                else None
             ),
             backend=backend,
             precision=precision,
+            accum=c,
+            beta=1.0,
+            plan=(
+                None
+                if stage_plans is None
+                else jax.tree.map(lambda v: v[0], stage_plans[k])
+            ),
         )
-        c, add_ovf = basic.add_with_info(c, c_s, cap=out_cap)
         pairs = pairs + info.n_block_pairs
         ovf = (
             ovf | info.pair_overflow | info.out_overflow
-            | info.row_overflow | add_ovf
+            | info.row_overflow | info.plan_mismatch
         )
         recv = nxt
     return c, pairs, ovf
@@ -343,11 +457,17 @@ def dist_spgemm_routed(
 ):
     """Distributed C = alpha * A @ B shipping only needed B panels.
 
-    `plan` from `plan_route` on the same distributed structure.  Returns
-    (C distributed, stats dict): stats carries total pairs, per-device
-    pairs (balance evidence) and the overflow flag.  Collectives are
+    `plan` from `plan_route` on the same distributed structure, or a
+    `FrozenRoutePlan` (from `freeze_route_plan`) to run every stage
+    numeric-only.  Returns (C distributed, stats dict): stats carries
+    total pairs, per-device pairs (balance evidence) and the overflow
+    flag (incl. per-stage plan_mismatch when frozen).  Collectives are
     issued one stage ahead of the leaf GEMMs that consume them.
     """
+    frozen = None
+    if isinstance(plan, FrozenRoutePlan):
+        frozen = plan
+        plan = frozen.route
     n_dev = mesh.shape[axis]
     assert n_dev == plan.n_dev
     out_cap = plan.out_cap if out_cap is None else out_cap
@@ -362,7 +482,9 @@ def dist_spgemm_routed(
         for s in plan.send_idx
     ]
 
-    def body(a_l, b_l, *send_l):
+    def body(a_l, b_l, *rest):
+        send_l = rest[:n_stages]
+        stage_plans = rest[n_stages:] or None
         a_loc = dataclasses.replace(
             a_l, ids=a_l.ids[0], data=a_l.data[0], nnz=a_l.nnz[0]
         )
@@ -371,7 +493,7 @@ def dist_spgemm_routed(
         )
         c, pairs, ovf = _routed_stages(
             a_loc, b_loc, send_l, plan, out_cap, backend, precision,
-            axis, n_dev,
+            axis, n_dev, stage_plans=stage_plans,
         )
         c = basic.scale(c, jnp.asarray(alpha, c.dtype))
         total = jax.lax.psum(pairs, axis)
@@ -389,14 +511,18 @@ def dist_spgemm_routed(
     )
     b_spec = dataclasses.replace(spec, n_rows=b.n_rows, n_cols=b.n_cols)
     c_spec = dataclasses.replace(spec, n_rows=a.n_rows, n_cols=b.n_cols)
+    extra = tuple(frozen.stage_plans) if frozen is not None else ()
+    extra_specs = tuple(
+        jax.tree.map(lambda _: P(axis), sp) for sp in extra
+    )
     f = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(spec, b_spec) + (P(axis),) * n_stages,
+        in_specs=(spec, b_spec) + (P(axis),) * n_stages + extra_specs,
         out_specs=(c_spec, P(axis), P(axis), P(axis)),
         check_vma=False,
     )
-    c, dev_pairs, total, ovf = f(a, b, *send_dev)
+    c, dev_pairs, total, ovf = f(a, b, *send_dev, *extra)
     stats = dict(
         n_block_pairs=total[0],
         per_device_pairs=dev_pairs,

@@ -71,6 +71,9 @@ class Route2Plan:
     # with zero pairs everywhere are dropped (None entry).
     stage_caps: tuple  # tuple[tuple[None | (pc, oc, mbr, mcr), ...], ...]
     out_cap: int
+    # Max blocks in any row of the final per-device union (c-side row
+    # cap for the fused per-share accumulate; see route.RoutePlan).
+    union_c_row_max: int
     total_pairs: int
     per_device_pairs: tuple
     # Traffic evidence (block copies of b*b elements).
@@ -190,6 +193,7 @@ def plan_route_2level(
 
     # Exact output capacity: union of everything each device receives.
     out_cap = 1
+    union_cr = 1
     for d in range(P_):
         recv_ids = []
         for ht in stages:
@@ -204,10 +208,11 @@ def plan_route_2level(
             if recv_ids
             else np.empty(0, np.int32)
         )
-        _, n_out = native.plan_spgemm(
+        _, n_out, _, u_cr = native.plan_spgemm_ex(
             a_ids[d], allb, a_nbc, b.nb_rows, b_nbc
         )
         out_cap = max(out_cap, n_out)
+        union_cr = max(union_cr, u_cr)
 
     nnz_b = int((b_ids != sent).sum())
     return Route2Plan(
@@ -217,6 +222,7 @@ def plan_route_2level(
         send_idx=tuple(send_idx),
         stage_caps=tuple(stage_caps),
         out_cap=int(out_cap),
+        union_c_row_max=int(union_cr),
         total_pairs=int(per_dev_pairs.sum()),
         per_device_pairs=tuple(int(x) for x in per_dev_pairs),
         dcn_blocks=int(dcn_blocks),
@@ -333,20 +339,24 @@ def dist_spgemm_2level(
                     n_cols=b_loc.n_cols,
                     block_size=b_loc.block_size,
                 )
-                c_s, info = spgemm(
+                # Fused accumulate at the union capacity (round 3;
+                # see route._routed_stages): one pass per share instead
+                # of multiply + sort-based union add.
+                c, info = spgemm(
                     a_loc,
                     share,
                     pair_cap=pc,
-                    out_cap=oc,
-                    row_caps=(mbr, mcr),
+                    out_cap=out_cap,
+                    row_caps=(mbr, plan.union_c_row_max),
                     backend=backend,
                     precision=precision,
+                    accum=c,
+                    beta=1.0,
                 )
-                c, add_ovf = basic.add_with_info(c, c_s, cap=out_cap)
                 pairs = pairs + info.n_block_pairs
                 ovf = (
                     ovf | info.pair_overflow | info.out_overflow
-                    | info.row_overflow | add_ovf
+                    | info.row_overflow
                 )
             recv = nxt
         c = basic.scale(c, jnp.asarray(alpha, c.dtype))

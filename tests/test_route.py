@@ -240,3 +240,51 @@ def test_planned_routed_purification(mesh8, monkeypatch):
                 cap=plans.x_caps[0], backend="xla",
                 expect_ids=plans.x_ids[0],
             )
+
+
+def test_frozen_route_plan_numeric_only(mesh8):
+    """freeze_route_plan: the frozen routed SpGEMM matches the unfrozen
+    run bit-exactly, and a stale freeze (different structure, same
+    shapes) is loud through the overflow flag."""
+    n, b = 512, 16
+    d, A = _b5_style_matrix(n, b, seed=17, extra_random=10)
+    Ad = dist.distribute(A, mesh8)
+    plan = route.plan_route(Ad, Ad, 8)
+    frozen = route.freeze_route_plan(Ad, Ad, plan)
+    C0, s0 = route.dist_spgemm_routed(Ad, Ad, mesh8, plan, backend="xla")
+    C1, s1 = route.dist_spgemm_routed(
+        Ad, Ad, mesh8, frozen, backend="xla"
+    )
+    assert not bool(s1["overflow"])
+    assert int(s1["n_block_pairs"]) == int(s0["n_block_pairs"])
+    np.testing.assert_array_equal(np.asarray(C1.ids), np.asarray(C0.ids))
+    np.testing.assert_array_equal(
+        np.asarray(C1.data), np.asarray(C0.data)
+    )
+
+    # Stale: same capacities, different structure -> plan_mismatch
+    # folds into the overflow flag (never silent).
+    d2, A2 = _b5_style_matrix(n, b, seed=23, extra_random=10)
+    A2d = dist.distribute(A2, mesh8)
+    if np.asarray(A2d.ids).shape == np.asarray(Ad.ids).shape and not (
+        np.asarray(A2d.ids) == np.asarray(Ad.ids)
+    ).all():
+        plan2 = route.plan_route(A2d, A2d, 8)
+        same_caps = (
+            plan2.stages == plan.stages
+            and plan2.stage_pair_caps == plan.stage_pair_caps
+            and plan2.out_cap == plan.out_cap
+            and all(
+                p2.shape == p1.shape
+                for p2, p1 in zip(plan2.send_idx, plan.send_idx)
+            )
+        )
+        if same_caps:
+            _, s_bad = route.dist_spgemm_routed(
+                A2d, A2d, mesh8,
+                route.FrozenRoutePlan(
+                    route=plan2, stage_plans=frozen.stage_plans
+                ),
+                backend="xla",
+            )
+            assert bool(s_bad["overflow"])
