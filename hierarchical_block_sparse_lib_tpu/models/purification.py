@@ -278,7 +278,7 @@ def plan_purify(
     jax.jit,
     static_argnames=(
         "n_steps", "pair_cap", "out_cap", "backend", "cap", "row_caps",
-        "symmetric",
+        "symmetric", "unroll",
     ),
 )
 def purify_scan(
@@ -293,6 +293,7 @@ def purify_scan(
     row_caps: tuple | None = None,
     symmetric: bool = False,
     plans: PurifyPlans | None = None,
+    unroll: int = 1,
 ):
     """`n_steps` SP2 iterations as ONE compiled program (`lax.scan`) —
     the whole purification pipeline stays on-device with zero host
@@ -301,7 +302,16 @@ def purify_scan(
     With `plans` (from `plan_purify`, same capacities), each step reuses
     its precomputed symbolic+union structure: the per-step cost drops to
     the numeric phase only.  Structure divergence from the planned
-    trajectory is reported in `stats.plan_mismatch` per step."""
+    trajectory is reported in `stats.plan_mismatch` per step.
+
+    `unroll` is passed to `lax.scan`.  Measured on v5e (round 3,
+    scripts/profile_scan.py, big-sym 6144^2/110k pairs): unrolling does
+    NOT help — full_unroll 19.9 vs rolled 18.9 ms/step — and the
+    apparent "scan overhead" vs a chained single step (14.2 ms) is a
+    timing artifact: in the chained protocol only one element of the
+    step output feeds the chain, so XLA dead-code-eliminates most of
+    the truncate/trace epilogue; the scan chains the FULL matrix and
+    its numbers are the honest per-step cost.  Keep unroll=1."""
     import dataclasses
 
     from hierarchical_block_sparse_lib_tpu.ops import repack as repack_mod
@@ -337,7 +347,7 @@ def purify_scan(
         return y, s
 
     xs = None if plans is None else plans.plans
-    xf, stats = jax.lax.scan(step, x, xs, length=n_steps)
+    xf, stats = jax.lax.scan(step, x, xs, length=n_steps, unroll=unroll)
     stats = dataclasses.replace(
         stats,
         repack_overflow=stats.repack_overflow.at[0].set(

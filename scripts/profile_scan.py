@@ -66,7 +66,7 @@ def make_variant(variant, prof, plans, nocc):
     pc, oc, cap, rc = prof.pair_cap, prof.out_cap, prof.cap, prof.row_caps
 
     def step(x, pl):
-        if variant in ("full", "notrunc"):
+        if variant in ("full", "full_unroll", "notrunc"):
             t = trace(x)
             s = (t > nocc).astype(x.dtype)
             alpha, beta = 2.0 * s - 1.0, 2.0 - 2.0 * s
@@ -76,7 +76,7 @@ def make_variant(variant, prof, plans, nocc):
             x, x, pair_cap=pc, out_cap=oc, row_caps=rc,
             accum=x, alpha=alpha, beta=beta, plan=pl,
         )
-        if variant in ("full", "notrace"):
+        if variant in ("full", "full_unroll", "notrace"):
             y, _kept = truncate(y, TAU, cap=cap)
         else:
             y = dataclasses.replace(
@@ -85,10 +85,14 @@ def make_variant(variant, prof, plans, nocc):
             )
         return y, info.n_block_pairs
 
+    unroll = N_STEPS if variant.endswith("_unroll") else 1
+
     @jax.jit
     def run(data):
         x = dataclasses.replace(X_CAP, data=data)
-        xf, _ = jax.lax.scan(step, x, plans.plans, length=N_STEPS)
+        xf, _ = jax.lax.scan(
+            step, x, plans.plans, length=N_STEPS, unroll=unroll
+        )
         return xf.data
 
     return run
@@ -106,7 +110,7 @@ if __name__ == "__main__":
     )
 
     res = {}
-    for variant in ("bare", "notrace", "notrunc", "full"):
+    for variant in ("bare", "notrace", "notrunc", "full", "full_unroll"):
         run = make_variant(variant, prof, plans, nocc)
         dt = bench.bench_chained(run, X_CAP.data, Ks=(1, 4)) / N_STEPS
         res[variant] = dt
