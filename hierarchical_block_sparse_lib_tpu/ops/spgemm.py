@@ -904,6 +904,14 @@ def spgemm(
         # pos_acc maps each valid accum slot to a UNIQUE union slot
         # (sorted-unique ids invariant), so the inverse is well-defined;
         # accum padding routes to the dropped trash slot as before.
+        # That invariant is load-bearing here: duplicate accum ids would
+        # have been SUMMED by a scatter-add but the inverse-map gather
+        # keeps an arbitrary one — check it and report loudly via
+        # plan_mismatch (structure-contract violation; ADVICE r3).
+        # Sorted ids put duplicates adjacent, so one vector compare.
+        plan_mismatch = plan_mismatch | jnp.any(
+            (accum.ids[1:] == accum.ids[:-1]) & accum.valid_mask()[1:]
+        )
         acc_cap = accum.cap
         acc_src = (
             jnp.full((out_cap,), acc_cap, jnp.int32)
@@ -913,6 +921,10 @@ def spgemm(
         acc_blocks = jnp.take(
             accum.data, acc_src, axis=0, mode="fill", fill_value=0
         )
+        # Padding slots compute out + beta*0 here; a non-finite traced
+        # beta would NaN them (breaking the all-zero-padding invariant),
+        # but such a beta already poisons every VALID slot too, so the
+        # run is lost either way — no extra mask needed (ADVICE r3).
         out_data = (
             out_data.astype(acc_dtype)
             + jnp.asarray(beta, acc_dtype) * acc_blocks.astype(acc_dtype)

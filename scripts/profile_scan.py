@@ -62,7 +62,7 @@ def build_input(n=6144, density=0.55, seed=7):
     return hbsm.from_dense(x0, block_size=128)
 
 
-def make_variant(variant, prof, plans, nocc):
+def make_variant(variant, prof, plans, nocc, x_cap):
     pc, oc, cap, rc = prof.pair_cap, prof.out_cap, prof.cap, prof.row_caps
 
     def step(x, pl):
@@ -89,7 +89,7 @@ def make_variant(variant, prof, plans, nocc):
 
     @jax.jit
     def run(data):
-        x = dataclasses.replace(X_CAP, data=data)
+        x = dataclasses.replace(x_cap, data=data)
         xf, _ = jax.lax.scan(
             step, x, plans.plans, length=N_STEPS, unroll=unroll
         )
@@ -111,7 +111,7 @@ if __name__ == "__main__":
 
     res = {}
     for variant in ("bare", "notrace", "notrunc", "full", "full_unroll"):
-        run = make_variant(variant, prof, plans, nocc)
+        run = make_variant(variant, prof, plans, nocc, X_CAP)
         dt = bench.bench_chained(run, X_CAP.data, Ks=(1, 4)) / N_STEPS
         res[variant] = dt
         print(f"{variant:8s}: {dt * 1e3:8.2f} ms/step")
