@@ -245,7 +245,7 @@ def test_planned_routed_purification(mesh8, monkeypatch):
 def test_frozen_route_plan_numeric_only(mesh8):
     """freeze_route_plan: the frozen routed SpGEMM matches the unfrozen
     run bit-exactly, and a stale freeze (different structure, same
-    shapes) is loud through the overflow flag."""
+    shapes) is loud through the plan_mismatch flag."""
     n, b = 512, 16
     d, A = _b5_style_matrix(n, b, seed=17, extra_random=10)
     Ad = dist.distribute(A, mesh8)
@@ -262,8 +262,8 @@ def test_frozen_route_plan_numeric_only(mesh8):
         np.asarray(C1.data), np.asarray(C0.data)
     )
 
-    # Stale: same capacities, different structure -> plan_mismatch
-    # folds into the overflow flag (never silent).
+    # Stale: same capacities, different structure -> loud via the
+    # dedicated plan_mismatch stat (never silent).
     d2, A2 = _b5_style_matrix(n, b, seed=23, extra_random=10)
     A2d = dist.distribute(A2, mesh8)
     if np.asarray(A2d.ids).shape == np.asarray(Ad.ids).shape and not (
@@ -287,4 +287,32 @@ def test_frozen_route_plan_numeric_only(mesh8):
                 ),
                 backend="xla",
             )
-            assert bool(s_bad["overflow"])
+            assert bool(s_bad["plan_mismatch"])
+
+
+def test_frozen_routed_sp2_step(mesh8):
+    """dist_sp2_step_routed with a FrozenRoutePlan (numeric-only stages,
+    VERDICT r3 item 2) matches the unfrozen routed step bit-exactly."""
+    n, b = 512, 16
+    nocc = n // 4
+    d, A = _b5_style_matrix(n, b, seed=11)
+    ds = (d + d.T).astype(np.float32) / 2
+    ds = ds / max(1.0, 2 * np.abs(ds).sum(1).max())
+    X = hbsm.from_dense(
+        np.eye(n, dtype=np.float32) * 0.55 - ds, block_size=b
+    )
+    Xd = dist.distribute(X, mesh8)
+    plan = route.plan_route(Xd, Xd, 8)
+    frozen = route.freeze_route_plan(Xd, Xd, plan)
+    tau = 1e-7
+    Y0, s0 = route.dist_sp2_step_routed(
+        Xd, mesh8, plan, tau, target_trace=nocc, backend="xla"
+    )
+    Y1, s1 = route.dist_sp2_step_routed(
+        Xd, mesh8, frozen, tau, target_trace=nocc, backend="xla",
+        expect_ids=np.asarray(Xd.ids),
+    )
+    assert not bool(s1["overflow"]) and not bool(s1["plan_mismatch"])
+    assert int(s1["n_block_pairs"]) == int(s0["n_block_pairs"])
+    np.testing.assert_array_equal(np.asarray(Y1.ids), np.asarray(Y0.ids))
+    np.testing.assert_array_equal(np.asarray(Y1.data), np.asarray(Y0.data))
