@@ -78,3 +78,94 @@ def test_2level_alpha_and_out_cap(mesh_hc):
     got = np.asarray(hbsm.to_dense(dist.undistribute(C)))
     np.testing.assert_allclose(got, -0.5 * (d @ d), rtol=2e-4, atol=5e-3)
     assert not bool(stats["overflow"])
+
+
+def _purify_input(n, b, seed=11):
+    d, _ = _b5_style_matrix(n, b, seed=seed)
+    ds = (d + d.T).astype(np.float32) / 2
+    ds = ds / max(1.0, 2 * np.abs(ds).sum(1).max())
+    return hbsm.from_dense(
+        np.eye(n, dtype=np.float32) * 0.55 - ds, block_size=b
+    )
+
+
+def test_2level_sp2_step_matches_flat(mesh_hc):
+    """dist_sp2_step_2level (flagship workload on the ICI/DCN hierarchy,
+    VERDICT r3 item 3) must match the flat routed SP2 step bit-exactly
+    in structure and to fp tolerance in values, with the DCN <= flat
+    invariant in its stats."""
+    mesh, h, c = mesh_hc
+    n, b = 512, 16
+    nocc = n // 4
+    X = _purify_input(n, b)
+    Xd = dist.distribute(X, dist.make_mesh(h * c))
+    tau = 1e-7
+    plan2 = route2.plan_route_2level(Xd, Xd, h, c)
+    Y2, st2 = route2.dist_sp2_step_2level(
+        Xd, mesh, plan2, tau, target_trace=nocc, backend="xla"
+    )
+    fplan = route.plan_route(Xd, Xd, h * c)
+    Yf, stf = route.dist_sp2_step_routed(
+        Xd, dist.make_mesh(h * c), fplan, tau, target_trace=nocc,
+        backend="xla",
+    )
+    assert not bool(st2["overflow"])
+    assert st2["dcn_blocks"] <= st2["dcn_blocks_flat"]
+    assert int(st2["n_block_pairs"]) == int(stf["n_block_pairs"])
+    assert abs(float(st2["trace"]) - float(stf["trace"])) < 1e-3
+    # Same out_cap (test_2level_dcn_never_exceeds_flat) => comparable
+    # arrays; values to fp tolerance (accumulation order differs: the
+    # two-level share order is (host-stage, chip), not ring offset).
+    np.testing.assert_array_equal(np.asarray(Y2.ids), np.asarray(Yf.ids))
+    np.testing.assert_allclose(
+        np.asarray(Y2.data), np.asarray(Yf.data), rtol=2e-4, atol=5e-4
+    )
+
+
+def test_2level_frozen_sp2_and_planned_purify(mesh_hc, monkeypatch):
+    """freeze_route2_plan: the frozen two-level SP2 step matches the
+    unfrozen one bit-exactly; plan_purify_2level + dist_purify_2level
+    run with ZERO host replanning and loud staleness."""
+    mesh, h, c = mesh_hc
+    n, b = 512, 16
+    nocc = n // 4
+    X = _purify_input(n, b)
+    Xd = dist.distribute(X, dist.make_mesh(h * c))
+    tau, n_steps = 1e-7, 2
+
+    plan2 = route2.plan_route_2level(Xd, Xd, h, c)
+    frozen = route2.freeze_route2_plan(Xd, Xd, plan2)
+    Y0, s0 = route2.dist_sp2_step_2level(
+        Xd, mesh, plan2, tau, target_trace=nocc, backend="xla"
+    )
+    Y1, s1 = route2.dist_sp2_step_2level(
+        Xd, mesh, frozen, tau, target_trace=nocc, backend="xla",
+        expect_ids=np.asarray(Xd.ids),
+    )
+    assert not bool(s1["overflow"]) and not bool(s1["plan_mismatch"])
+    assert int(s1["n_block_pairs"]) == int(s0["n_block_pairs"])
+    np.testing.assert_array_equal(np.asarray(Y1.ids), np.asarray(Y0.ids))
+    np.testing.assert_array_equal(np.asarray(Y1.data), np.asarray(Y0.data))
+
+    plans = route2.plan_purify_2level(
+        Xd, mesh, n_steps, tau, target_trace=nocc, backend="xla"
+    )
+    Yu, _ = route2.dist_purify_2level(
+        Xd, mesh, n_steps, tau, target_trace=nocc, backend="xla"
+    )
+
+    def _no_replan(*a, **k):  # pragma: no cover - should never run
+        raise AssertionError("plan_route_2level called during planned run")
+
+    monkeypatch.setattr(route2, "plan_route_2level", _no_replan)
+    Yp, stats = route2.dist_purify_2level(
+        Xd, mesh, n_steps, tau, target_trace=nocc, backend="xla",
+        plans=plans,
+    )
+    monkeypatch.undo()
+    for st in stats:
+        assert not bool(st["plan_mismatch"])
+        assert not bool(st["overflow"])
+        assert st["dcn_blocks"] <= st["dcn_blocks_flat"]
+    np.testing.assert_array_equal(np.asarray(Yp.ids), np.asarray(Yu.ids))
+    np.testing.assert_array_equal(np.asarray(Yp.data), np.asarray(Yu.data))
