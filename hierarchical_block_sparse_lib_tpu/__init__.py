@@ -94,6 +94,11 @@ from hierarchical_block_sparse_lib_tpu.ops.band import (
     band_trace,
     band_transpose,
 )
+from hierarchical_block_sparse_lib_tpu.ops.kpack import (
+    KpackPlan,
+    kpack_spgemm,
+    plan_kpack,
+)
 from hierarchical_block_sparse_lib_tpu.ops.leafpack import (
     LeafpackPlan,
     leafpack_spgemm,
@@ -159,6 +164,9 @@ __all__ = [
     "LeafpackPlan",
     "leafpack_spgemm",
     "plan_leafpack",
+    "KpackPlan",
+    "kpack_spgemm",
+    "plan_kpack",
     "matmul",
     "syrk",
     "plan_syrk",
