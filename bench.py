@@ -456,7 +456,7 @@ def main():
             )
             # (b) Packed-contraction path: only useful fine-k slices
             # ever reach the MXU (ops.kpack module doc).
-            kplan = plan_kpack(A32, A32, tile=128, n_groups=16)
+            kplan = plan_kpack(A32, A32, tile=128, n_groups=32)
             log(
                 f"B2-leaf32 kpack plan: tiles={kplan.n_tiles} "
                 f"a_cols={kplan.n_a_cols} b_rows={kplan.n_b_rows} "
@@ -586,53 +586,6 @@ def main():
             results["B1"]["band_time_s"] = dtb
             results["B1"]["band_honest_gflops"] = honest
 
-        def _roll():
-            # Big-band A/B: rolling-window (v5) vs row-panel (v3) on the
-            # one shape v5 measured a win (VERDICT r2 item 4; full study
-            # in scripts/bench_roll.py: +10% here, -15% at 32768 same
-            # band — hence v5 is explicit-only, never auto-dispatched).
-            import dataclasses as _dc
-
-            import hierarchical_block_sparse_lib_tpu as hbsm
-            from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_roll import (
-                plan_roll,
-            )
-            from hierarchical_block_sparse_lib_tpu.ops.spgemm import (
-                plan_spgemm_ex,
-            )
-
-            A = banded_block_matrix(16384, 512, 128)
-            pc, oc, mbr, mcr = plan_spgemm_ex(A, A)
-            rplan = plan_roll(A, A)
-            out = {}
-            for be, kw in (
-                ("rows", {}),
-                ("roll", {"roll_caps": rplan.caps} if rplan else None),
-            ):
-                if kw is None:
-                    continue
-
-                def build(d, be=be, kw=kw):
-                    m = _dc.replace(A, data=d)
-                    C, _ = hbsm.spgemm(
-                        m, m, pair_cap=pc, out_cap=oc,
-                        row_caps=(mbr, mcr), precision=args.precision,
-                        backend=be, **kw,
-                    )
-                    return C.data
-
-                dt = bench_chained(build, A.data, Ks=(2, 10))
-                out[be] = dt
-                log(
-                    f"B1-band16384 hw512 {be:5s}: t={dt*1e3:.2f} ms "
-                    f"({dt/pc*1e9:.0f} ns/pair)"
-                )
-            if "roll" in out:
-                log(
-                    f"B1-band16384 roll vs rows: {out['rows']/out['roll']:.2f}x"
-                )
-                results["roll_big_band"] = out
-
         def _b4_anchor():
             # Same-size dense anchor (BASELINE.json:10 "vs pure dense
             # GEMM"): slab-wise since the full square OOMs chained.
@@ -696,7 +649,6 @@ def main():
             _b2_leaf32,
             _b2_default,
             _b1,
-            _roll,
             _routed_1dev,
             lambda: results.__setitem__("B3", bench_truncation_pipeline()),
             # B4 warm-up scale (single row-panel kernel call)...

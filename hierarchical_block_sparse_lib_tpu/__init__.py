@@ -77,10 +77,6 @@ from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_groups import (
     plan_groups,
     GroupPlan,
 )
-from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_roll import (
-    plan_roll,
-    RollPlan,
-)
 from hierarchical_block_sparse_lib_tpu.ops.band import (
     BandMatrix,
     band_add,
@@ -141,8 +137,6 @@ __all__ = [
     "spamm",
     "plan_coarsen",
     "plan_groups",
-    "plan_roll",
-    "RollPlan",
     "GroupPlan",
     "make_plan",
     "SymbolicPlan",

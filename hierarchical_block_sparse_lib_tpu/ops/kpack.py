@@ -108,7 +108,7 @@ def plan_kpack(
     a: BlockMatrix,
     b: BlockMatrix,
     tile: int = 128,
-    n_groups: int = 8,
+    n_groups: int = 32,
 ) -> KpackPlan | None:
     """Host-side exact plan for `kpack_spgemm` (C = A @ B with fine
     leaves packed along the contraction per coarse output tile).
@@ -117,7 +117,11 @@ def plan_kpack(
     `spgemm` directly at MXU granularity instead).  `n_groups` bounds
     the per-group Lk padding (tiles sorted by packed width, groups of
     equal tile count); it also bounds peak gather workspace to
-    ~(n_tiles / n_groups) * tile * Lk_max * 8 bytes.
+    ~(n_tiles / n_groups) * tile * Lk_max * 8 bytes.  Measured on B2
+    (16384^2 leaf-32 5%): 32 groups beat 16 by ~6% (less Lk padding);
+    scatter- vs concat-permutation output assembly measured identical,
+    and the fused gather+dot is ~2x faster than materializing the
+    gathers (DESIGN.md section 8 round-4 ablations).
     """
     bf = a.block_size
     if a.block_size != b.block_size or a.n_cols != b.n_rows:
@@ -292,20 +296,29 @@ def kpack_spgemm(
 
     NA, NB = plan.n_a_cols, plan.n_b_rows
     acc_dtype = jnp.promote_types(a.dtype, jnp.float32)
+    # At DEFAULT precision the MXU rounds inputs to bf16 anyway, so
+    # storing the packed operands in bf16 is bit-identical and halves
+    # the gather bytes (measured ~7% on B2 leaf-32 — the path is
+    # gather-heavy but not purely bandwidth-bound).
+    store_dtype = (
+        jnp.bfloat16
+        if precision == "default" and a.dtype == jnp.float32
+        else a.dtype
+    )
     # Packed operands: one [tile, bf] column per occupied A (I, k), one
     # [bf, tile] row per occupied B (k, J); absent fine leaves stay 0.
     # `.add` (not `.set`): distinct valid leaves hit distinct slots, and
     # padding leaves (all-zero) routed to the pad slot add nothing.
     a_cols = (
-        jnp.zeros((NA + 1, f, bf, bf), a.dtype)
+        jnp.zeros((NA + 1, f, bf, bf), store_dtype)
         .at[plan.a_scat_col, plan.a_scat_off]
-        .add(a.data, mode="drop")
+        .add(a.data.astype(store_dtype), mode="drop")
         .reshape(NA + 1, f * bf, bf)
     )
     b_rows = (
-        jnp.zeros((NB + 1, f, bf, bf), a.dtype)
+        jnp.zeros((NB + 1, f, bf, bf), store_dtype)
         .at[plan.b_scat_row, plan.b_scat_off]
-        .add(b.data.astype(a.dtype), mode="drop")
+        .add(b.data.astype(store_dtype), mode="drop")
         # [slot, u(col leaf), r, c] -> [slot, r, u, c] = [bf, tile] rows.
         .transpose(0, 2, 1, 3)
         .reshape(NB + 1, bf, f * bf)

@@ -49,12 +49,9 @@ def matmul(
     #   pairs/row ~79  (hw=512, two n)  -> rows wins or ties
     # Big bands are MXU-pass-bound, not B-traffic-bound (DESIGN.md
     # section 8 ablations), so predicted traffic reduction does NOT
-    # translate to time there.  The rolling-window kernel never won
-    # consistently (one +10%, one -15% at the same pairs/row) and is
-    # therefore never auto-selected; pass backend='roll' +
-    # roll_caps=plan_roll(...).caps explicitly to use it
-    # (scripts/bench_roll.py keeps the A/B honest).
-    gplan = rplan = None
+    # translate to time there.  (The v5 rolling-window kernel was
+    # retired in round 4 after two rounds of no reproducible win.)
+    gplan = None
     if pc < 16 * max(ae.nb_rows, 1):
         gplan = plan_groups(ae, be)
     return spgemm(
@@ -67,7 +64,6 @@ def matmul(
         backend=backend,
         row_caps=(mbr, mcr),
         group_caps=gplan.caps if gplan is not None else None,
-        roll_caps=rplan.caps if rplan is not None else None,
     )
 
 

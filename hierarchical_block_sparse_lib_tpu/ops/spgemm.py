@@ -368,7 +368,6 @@ def _xla_numeric_accumulate(
         "gemm_cap",
         "row_caps",
         "group_caps",
-        "roll_caps",
         "syrk_upper",
     ),
 )
@@ -387,7 +386,6 @@ def spgemm(
     gemm_cap: int | None = None,
     row_caps: tuple[int, int] | None = None,
     group_caps: tuple[int, int, int, int] | None = None,
-    roll_caps: tuple[int, int, int, int] | None = None,
     syrk_upper: bool = False,
     a_leaf_occ: jax.Array | None = None,
     b_leaf_occ: jax.Array | None = None,
@@ -419,11 +417,10 @@ def spgemm(
     gather-GEMM-accumulate kernel, TPU), 'rows' (row-panel kernel —
     fastest for general structures; needs `row_caps`), 'groups'
     (row-group kernel — B-slab reuse across consecutive A rows, fastest
-    for banded/local structures; needs `group_caps`), 'roll'
-    (rolling-window kernel — sliding B-slab reuse ACROSS groups for
-    monotone bands, tail-append traffic; needs `roll_caps` from
-    `kernels.pallas_gemm_roll.plan_roll`), or 'auto' (prefers
-    roll > groups > rows > pallas for the caps supplied).
+    for banded/local structures; needs `group_caps`), or 'auto'
+    (prefers groups > rows > pallas for the caps supplied).  [The v5
+    rolling-window kernel was retired in round 4: two rounds of
+    hardware A/B never produced a reproducible win — BASELINE.md.]
 
     row_caps: (max_b_row, max_c_row) from `plan_spgemm_ex` — static
     per-row capacities that let the row-panel kernel cache contiguous
@@ -592,7 +589,6 @@ def spgemm(
     if backend == "auto":
         from hierarchical_block_sparse_lib_tpu.kernels import (
             pallas_gemm_groups,
-            pallas_gemm_roll,
             pallas_gemm_rows,
         )
 
@@ -600,19 +596,6 @@ def spgemm(
             # The Pallas kernels accumulate in f32; f64 (x64 mode, CPU)
             # must take the dtype-clean dot_general path.
             backend = "xla"
-        elif (
-            on_tpu
-            and roll_caps is not None
-            and not filter_by_norm
-            and not syrk_upper
-            and pallas_gemm_roll.supported(
-                a.block_size, a.dtype, *roll_caps[1:], b.nb_cols
-            )
-        ):
-            # The rolling window (v5) beats the per-group slab (v4)
-            # whenever plan_roll returns a plan — the planner only does
-            # so for monotone bands where tail-append traffic wins.
-            backend = "roll"
         elif (
             on_tpu
             and group_caps is not None
@@ -644,26 +627,7 @@ def spgemm(
         else:
             backend = "xla"
     acc_dtype = jnp.promote_types(a.dtype, jnp.float32)
-    if backend == "roll":
-        from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_roll import (
-            roll_spgemm,
-        )
-
-        if roll_caps is None:
-            raise ValueError("backend='roll' requires roll_caps (plan_roll)")
-        if filter_by_norm or syrk_upper:
-            raise ValueError(
-                "backend='roll' supports neither filter_by_norm nor "
-                "syrk_upper; use the rows backend"
-            )
-        gr, agm, bfm, cgm = (int(x) for x in roll_caps)
-        out_data = roll_spgemm(
-            a.ids, a.data, b.ids, b.data, out_ids_pre,
-            a.nb_rows, b.nb_rows, b.nb_cols, out_cap,
-            g_rows=gr, a_grp_max=agm, buf=bfm, c_grp_max=cgm,
-            precision=precision,
-        )
-    elif backend == "groups":
+    if backend == "groups":
         from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_groups import (
             groups_spgemm,
         )
@@ -799,73 +763,10 @@ def spgemm(
             | (jnp.max(slab) > _gbucket(s_gm))
             | (jnp.max(c_grp) > _gbucket(c_gm))
         )
-    elif backend == "roll":
-        # Mirror of the groups check for the rolling-window kernel: the
-        # true per-group maxima vs the (bucketed) caps, PLUS the sliding
-        # window's validity conditions — the window start must advance
-        # monotonically (a regressing band would need blocks already
-        # evicted) and every group's live span must fit the buffer.
-        from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_roll import (
-            _bucket as _rbucket,
-        )
-
-        g_rows, a_gm, buf_m, c_gm = roll_caps
-        ngrp = -(-a.nb_rows // g_rows)
-        a_valid = a.valid_mask()
-        a_rowv = jnp.where(a_valid, a.ids // a.nb_cols, a.nb_rows)
-        gidv = jnp.clip(a_rowv // g_rows, 0, ngrp - 1)
-        pad = ~a_valid
-        a_grp = (
-            jnp.zeros((ngrp,), jnp.int32)
-            .at[gidv]
-            .add(jnp.where(pad, 0, 1))
-        )
-        a_colv = a.ids % a.nb_cols
-        kmin = (
-            jnp.full((ngrp,), b.nb_rows, jnp.int32)
-            .at[gidv]
-            .min(jnp.where(pad, b.nb_rows, a_colv).astype(jnp.int32))
-        )
-        kmax = (
-            jnp.full((ngrp,), -1, jnp.int32)
-            .at[gidv]
-            .max(jnp.where(pad, -1, a_colv).astype(jnp.int32))
-        )
-        b_rowv = jnp.where(b.valid_mask(), b.ids // b.nb_cols, b.nb_rows)
-        b_row_cnt = jnp.zeros((b.nb_rows + 1,), jnp.int32).at[b_rowv].add(1)
-        b_row_start = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), jnp.cumsum(b_row_cnt[:-1])]
-        ).astype(jnp.int32)
-        nonempty = kmax >= 0
-        lo_raw = jnp.where(
-            nonempty, b_row_start[jnp.clip(kmin, 0, b.nb_rows)], 0
-        )
-        hi_raw = jnp.where(
-            nonempty, b_row_start[jnp.clip(kmax + 1, 0, b.nb_rows)], 0
-        )
-        # Window-start regression (vs any earlier group) breaks the
-        # forward-only eviction; live span = running hi minus this
-        # group's lo must fit the buffer.
-        lo_regress = jnp.any(nonempty & (lo_raw < jax.lax.cummax(lo_raw)))
-        span = jnp.where(nonempty, jax.lax.cummax(hi_raw) - lo_raw, 0)
-        c_valid = out_ids != SENTINEL
-        c_rowv = jnp.where(c_valid, out_ids // b.nb_cols, a.nb_rows)
-        c_gidv = jnp.clip(c_rowv // g_rows, 0, ngrp - 1)
-        c_grp = (
-            jnp.zeros((ngrp,), jnp.int32)
-            .at[c_gidv]
-            .add(jnp.where(c_valid, 1, 0))
-        )
-        row_overflow = (
-            (jnp.max(a_grp) > _rbucket(a_gm))
-            | (jnp.max(span) > _rbucket(buf_m))
-            | (jnp.max(c_grp) > _rbucket(c_gm))
-            | lo_regress
-        )
     else:
         row_overflow = jnp.zeros((), bool)
     alpha_is_one = isinstance(alpha, (int, float)) and float(alpha) == 1.0
-    exact_fill = backend in ("rows", "groups", "roll")
+    exact_fill = backend in ("rows", "groups")
     if exact_fill and alpha_is_one and a.dtype == out_data.dtype:
         # The row-panel kernel writes every used slot exactly and
         # zero-fills the tail in-kernel: no post-pass needed — this

@@ -31,10 +31,23 @@ jax.config.update("jax_platforms", "cpu")
 # the executable caches between modules keeps the live-program count
 # bounded; cross-module compile reuse is minimal anyway (each module
 # compiles its own shapes).
+#
+# Root-cause status (round 4): 400 plain jit executables (distinct
+# shapes; sort/scatter/matmul mix) held live do NOT crash
+# (scripts/repro_xla_cpu_segfault.py), so the trigger involves the
+# suite's heavier executables (Pallas interpret mode / shard_map).
+# Set HBSM_NO_CACHE_DROP=1 to run the suite without the workaround —
+# the round-4 check of the full suite under that flag is recorded in
+# CLAUDE.md; keep the fixture unless that run stays clean across JAX
+# upgrades.  Dropping caches is SAFE (not just convenient): it only
+# discards compiled executables between modules, forcing recompiles —
+# never results; each module compiles its own capacity-bucket shapes,
+# so cross-module reuse (and thus the cost of dropping) is minimal.
 import pytest  # noqa: E402
 
 
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_per_module():
     yield
-    jax.clear_caches()
+    if not os.environ.get("HBSM_NO_CACHE_DROP"):
+        jax.clear_caches()

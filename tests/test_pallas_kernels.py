@@ -340,186 +340,3 @@ def test_groups_backend_bf16_and_high_precision():
         np.asarray(hbsm.to_dense(Cb), np.float64) - ref
     ).max() / scale
     assert err_b < 2e-2, err_b  # bf16 storage grade
-
-
-@pytest.mark.parametrize("nb,hw", [(21, 2), (16, 1), (24, 3)])
-def test_roll_backend_banded(nb, hw):
-    """Rolling-window kernel (v5: sliding B-slab across groups) vs the
-    dense oracle on banded structures — partial last group, planner's
-    traffic accounting strictly below the groups kernel's slab total."""
-    from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_groups import (
-        plan_groups,
-    )
-    from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_roll import (
-        plan_roll,
-    )
-
-    b = 128
-    d = _banded_dense(nb, b, hw)
-    A = hbsm.from_dense(d, block_size=b)
-    plan = plan_roll(A, A)
-    assert plan is not None
-    gplan = plan_groups(A, A)
-    # On SMALL bands the groups kernel's whole-slab fetch can already be
-    # minimal (one group holds everything) — roll only has to stay in
-    # the same ballpark here; its win is the big-band regime asserted in
-    # test_roll_planner_big_band_traffic_win.  matmul()'s auto gate
-    # drops roll whenever it does not strictly beat the slabs.
-    assert plan.traffic <= 2 * gplan.slab_blocks
-    assert plan.window_max <= plan.buf
-    pc, oc = plan_spgemm(A, A)
-    C, info = hbsm.spgemm(
-        A, A, pair_cap=pc, out_cap=oc, backend="roll",
-        roll_caps=plan.caps,
-    )
-    got = np.asarray(hbsm.to_dense(C))
-    ref = d @ d
-    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
-    assert int(info.n_block_pairs) == pc
-    assert not bool(info.row_overflow)
-
-
-def test_roll_backend_forced_resets():
-    """A buffer barely larger than the window forces the reset path
-    (window re-base) repeatedly; the result must stay oracle-exact and
-    the planner's simulated traffic must match that regime."""
-    from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_roll import (
-        _bucket, plan_roll,
-    )
-    import dataclasses as dc
-
-    nb, b, hw = 24, 128, 2
-    d = _banded_dense(nb, b, hw, seed=11)
-    A = hbsm.from_dense(d, block_size=b)
-    plan = plan_roll(A, A, slack=1.01)  # minimal slack -> frequent resets
-    assert plan is not None
-    assert plan.buf <= _bucket(plan.window_max) + 8
-    pc, oc = plan_spgemm(A, A)
-    C, info = hbsm.spgemm(
-        A, A, pair_cap=pc, out_cap=oc, backend="roll",
-        roll_caps=plan.caps,
-    )
-    ref = d @ d
-    got = np.asarray(hbsm.to_dense(C))
-    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
-    assert not bool(info.row_overflow)
-
-
-def test_roll_backend_rectangular_and_gaps():
-    """Rectangular operands with empty A block-rows (empty groups must
-    carry the window state through) vs the dense oracle."""
-    from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_roll import (
-        plan_roll,
-    )
-
-    b = 128
-    nbr, nbk, nbc = 12, 16, 8
-    rng = np.random.default_rng(7)
-    da = np.zeros((nbr * b, nbk * b), np.float32)
-    for i in range(nbr):
-        if i in (3, 4, 9):  # empty block-rows -> empty groups
-            continue
-        k0 = min(i, nbk - 2)
-        for k in range(k0, min(nbk, k0 + 2)):
-            da[i*b:(i+1)*b, k*b:(k+1)*b] = rng.standard_normal((b, b))
-    db = np.zeros((nbk * b, nbc * b), np.float32)
-    for k in range(nbk):
-        for j in range(max(0, min(k, nbc - 1) - 1), min(nbc, k + 2)):
-            db[k*b:(k+1)*b, j*b:(j+1)*b] = rng.standard_normal((b, b))
-    A = hbsm.from_dense(da, block_size=b)
-    B = hbsm.from_dense(db, block_size=b)
-    plan = plan_roll(A, B, prefer=(2, 1))
-    assert plan is not None
-    pc, oc = plan_spgemm(A, B)
-    C, info = hbsm.spgemm(
-        A, B, pair_cap=pc, out_cap=oc, backend="roll",
-        roll_caps=plan.caps,
-    )
-    ref = da @ db
-    got = np.asarray(hbsm.to_dense(C))
-    assert np.abs(got - ref).max() / max(np.abs(ref).max(), 1) < 1e-5
-    assert not bool(info.row_overflow)
-
-
-def test_roll_backend_accum_and_auto_dispatch():
-    """Fused beta-accumulate through the roll backend, and matmul()'s
-    auto dispatch selecting roll for a monotone band (interpret mode
-    selects by caps the same way the TPU path does, minus on_tpu)."""
-    from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_roll import (
-        plan_roll,
-    )
-
-    nb, b, hw = 16, 128, 1
-    d = _banded_dense(nb, b, hw, seed=3)
-    A = hbsm.from_dense(d, block_size=b)
-    plan = plan_roll(A, A)
-    pc, oc0 = plan_spgemm(A, A)
-    oc = oc0 + int(A.nnz)  # union bound
-    C, info = hbsm.spgemm(
-        A, A, pair_cap=pc, out_cap=oc, backend="roll",
-        roll_caps=plan.caps, accum=A, alpha=1.0, beta=-0.5,
-    )
-    ref = d @ d - 0.5 * d
-    got = np.asarray(hbsm.to_dense(C))
-    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
-    assert not bool(info.out_overflow) and not bool(info.row_overflow)
-
-
-def test_roll_plan_rejects_nonmonotone():
-    """A structure whose window start regresses (upper band plus a late
-    low-column block) must be rejected by plan_roll... unless the
-    regression vanishes after the cummax (the planner works on group
-    extents).  Regression case: spgemm's roll_overflow flags it."""
-    from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_roll import (
-        plan_roll,
-    )
-
-    nb, b = 16, 128
-    d = _banded_dense(nb, b, 1, seed=9)
-    d[-b:, :b] = 1.0  # last block-row needs column 0 again
-    A = hbsm.from_dense(d, block_size=b)
-    plan = plan_roll(A, A, prefer=(2,))
-    if plan is not None:
-        # Planner accepted (the cummax'd extents still cover the span
-        # within buf) — then the kernel must be oracle-exact.
-        pc, oc = plan_spgemm(A, A)
-        C, info = hbsm.spgemm(
-            A, A, pair_cap=pc, out_cap=oc, backend="roll",
-            roll_caps=plan.caps,
-        )
-        if not bool(info.row_overflow):
-            ref = d @ d
-            got = np.asarray(hbsm.to_dense(C))
-            assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-5
-
-
-def test_roll_planner_big_band_traffic_win():
-    """The regime the rolling window exists for: a band whose per-group
-    slab is too big to double-buffer (v4 falls to its single-buffered
-    tier) — tail-append traffic must be a multiple smaller than v4's
-    whole-slab-per-group fetches.  Planner-only (no kernel run)."""
-    from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_groups import (
-        plan_groups, _tier as g_tier,
-    )
-    from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_roll import (
-        plan_roll,
-    )
-    import jax.numpy as jnp
-
-    nb, b, hw = 48, 128, 4  # ~9-block-wide band, ~430 B blocks
-    d = _banded_dense(nb, b, hw, seed=1)
-    A = hbsm.from_dense(d, block_size=b)
-    gplan = plan_groups(A, A)
-    rplan = plan_roll(A, A)
-    assert gplan is not None and rplan is not None
-    # v4 is stuck single-buffered on this shape (the motivation).
-    acc_p, panel_p = g_tier(
-        b, jnp.float32, gplan.a_grp_max, gplan.slab_max, gplan.c_grp_max
-    )
-    assert panel_p == 1
-    # v5 cuts the B fetch traffic by a real multiple.
-    assert rplan.traffic * 2 < gplan.slab_blocks, (
-        rplan.traffic, gplan.slab_blocks
-    )
-    # And still fetches at most a small multiple of nnz(B).
-    assert rplan.traffic < 3 * int(A.nnz)
