@@ -263,13 +263,14 @@ def _count_fine_pairs(a_ids_v, b_ids_v, a_nbc, b_nbc):
         return int(cnt_b[ac].sum())
 
 
-@partial(jax.jit, static_argnames=("precision",))
+@partial(jax.jit, static_argnames=("precision", "layout"))
 def kpack_spgemm(
     a: BlockMatrix,
     b: BlockMatrix,
     plan: KpackPlan,
     alpha: float | jax.Array = 1.0,
     precision: str = "highest",
+    layout: str = "plain",
 ):
     """C = alpha * A @ B via per-tile packed contraction (module doc).
 
@@ -282,6 +283,21 @@ def kpack_spgemm(
     section 4.2.)  Downstream chain ops (add/scale/truncate) operate on
     the coarse tiles directly.  `n_block_pairs`/`n_leaf_multiplies` report the honest
     fine-leaf GEMM count (the reference's counter at ITS leaf size).
+
+    `layout` picks the panel-assembly formulation (same math, same
+    result; A/B'd on chip via scripts/bench_kpack_layout.py):
+
+    - "plain": gather [Tg, Lk, tile, bf] A panels, transpose+reshape to
+      [Tg, tile, Lk*bf] before the dot — the transpose runs over the
+      GATHERED bytes (each fine column is re-gathered for every tile
+      that uses it: ~#occupied B (k,·) per column, ~24x at B2's 5%).
+    - "t": store the packed A columns pre-transposed ([bf, tile] per
+      slot) so the per-panel transpose happens ONCE on the NA-slot
+      store; the dot consumes the gathered panels as a transposed LHS
+      (contracting dim first), which the MXU handles as a layout.
+    - "mc": no reshapes at all — multi-dimensional contraction
+      directly on the gathered [Tg, Lk, tile, bf] x [Tg, Lk, bf, tile]
+      panels; XLA picks the layouts.
     """
     bf = plan.block_size
     f = plan.leaves
@@ -309,12 +325,27 @@ def kpack_spgemm(
     # [bf, tile] row per occupied B (k, J); absent fine leaves stay 0.
     # `.add` (not `.set`): distinct valid leaves hit distinct slots, and
     # padding leaves (all-zero) routed to the pad slot add nothing.
-    a_cols = (
-        jnp.zeros((NA + 1, f, bf, bf), store_dtype)
-        .at[plan.a_scat_col, plan.a_scat_off]
-        .add(a.data.astype(store_dtype), mode="drop")
-        .reshape(NA + 1, f * bf, bf)
-    )
+    if layout == "t":
+        # [slot, u(row leaf), c, r] -> [slot, c, u, r] = [bf, tile]
+        # transposed columns: one pass over the NA*tile*bf store
+        # instead of over every gathered panel.
+        a_cols = (
+            jnp.zeros((NA + 1, f, bf, bf), store_dtype)
+            .at[plan.a_scat_col, plan.a_scat_off]
+            .add(
+                a.data.astype(store_dtype).transpose(0, 2, 1),
+                mode="drop",
+            )
+            .transpose(0, 2, 1, 3)
+            .reshape(NA + 1, bf, f * bf)
+        )
+    else:
+        a_cols = (
+            jnp.zeros((NA + 1, f, bf, bf), store_dtype)
+            .at[plan.a_scat_col, plan.a_scat_off]
+            .add(a.data.astype(store_dtype), mode="drop")
+            .reshape(NA + 1, f * bf, bf)
+        )
     b_rows = (
         jnp.zeros((NB + 1, f, bf, bf), store_dtype)
         .at[plan.b_scat_row, plan.b_scat_off]
@@ -327,13 +358,27 @@ def kpack_spgemm(
     out = jnp.zeros((plan.n_tiles, tile, tile), acc_dtype)
     for sa, sb, slot in zip(plan.a_src, plan.b_src, plan.c_slot):
         lk = sa.shape[1]
-        pa = a_cols[sa]  # [Tg, Lk, tile, bf]
-        pa = pa.transpose(0, 2, 1, 3).reshape(sa.shape[0], tile, lk * bf)
-        pb = b_rows[sb].reshape(sb.shape[0], lk * bf, tile)
+        if layout == "t":
+            # a_cols[slot] = [bf, tile] (transposed): contraction dim
+            # (l, c) lands first after the merge — transposed LHS.
+            pa = a_cols[sa].reshape(sa.shape[0], lk * bf, tile)
+            pb = b_rows[sb].reshape(sb.shape[0], lk * bf, tile)
+            dn = (((1,), (1,)), ((0,), (0,)))
+        elif layout == "mc":
+            pa = a_cols[sa]  # [Tg, Lk, tile, bf]
+            pb = b_rows[sb]  # [Tg, Lk, bf, tile]
+            dn = (((1, 3), (1, 2)), ((0,), (0,)))
+        else:
+            pa = a_cols[sa]  # [Tg, Lk, tile, bf]
+            pa = pa.transpose(0, 2, 1, 3).reshape(
+                sa.shape[0], tile, lk * bf
+            )
+            pb = b_rows[sb].reshape(sb.shape[0], lk * bf, tile)
+            dn = (((2,), (1,)), ((0,), (0,)))
         cg = jax.lax.dot_general(
             pa,
             pb,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            dimension_numbers=dn,
             preferred_element_type=acc_dtype,
             precision=_PRECISION[precision],
         )
