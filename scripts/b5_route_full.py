@@ -115,11 +115,19 @@ def main():
     tau, nocc = 1e-7, NB * B // 2
     pc2, oc2, mbr2, mcr2 = plan_spgemm_ex(X, X)
     t0 = time.time()
-    Y_ref, _ = sp2_step(
+    # cap must cover the UNION support (X densifies before it
+    # re-sparsifies; at tau=1e-7 one step drops almost nothing) — the
+    # default cap=x.cap would overflow here, which stats report loudly.
+    Y_ref, st_ref = sp2_step(
         X, tau, pair_cap=pc2, out_cap=oc2, target_trace=nocc,
-        backend="xla",
+        backend="xla", cap=oc2,
     )
     jax.block_until_ready(Y_ref.data)
+    assert not (
+        bool(st_ref.pair_overflow)
+        | bool(st_ref.out_overflow)
+        | bool(st_ref.repack_overflow)
+    ), "oracle sp2_step overflowed"
     t_sp2_ref = time.time() - t0
 
     Xd = dist.distribute(X, mesh)
