@@ -413,8 +413,13 @@ def _routed_stages(
         # add_with_info made a routed 1-device stage 5.2x slower than
         # the plain multiply; fused it is ~2.9x, and with frozen stage
         # plans (`freeze_route_plan`: numeric-only stages, no symbolic
-        # sorts or union merges) ~1.6x — the residue is the panel pack
-        # gather and the union-slot accumulate pass.
+        # sorts or union merges) ~1.6x.  The FIRST kept stage skips the
+        # accumulate entirely (round 4): its accumulator is the empty C,
+        # and XLA does NOT elide the beta*0 gather-add — measured
+        # 0.87 ms of the 1.0 ms frozen-routed overhead at B2's union
+        # size on v5e (scripts/profile_routed_1dev.py).  out =
+        # union(empty, product) = the product support, so the chain
+        # (and the freeze-time u_ids trajectory) is unchanged.
         c, info = spgemm(
             a_loc,
             b_recv,
@@ -430,7 +435,7 @@ def _routed_stages(
             ),
             backend=backend,
             precision=precision,
-            accum=c,
+            accum=None if k == 0 else c,
             beta=1.0,
             plan=(
                 None

@@ -433,6 +433,9 @@ def _stages_2level(
             caps = plan.stage_caps[k][cc]
             if caps is None:
                 continue  # zero pairs for every destination
+            first_mul = k == 0 and all(
+                plan.stage_caps[0][c0] is None for c0 in range(cc)
+            )
             pc, oc, mbr, mcr = caps
             share = BlockMatrix(
                 ids=ids_g[cc],
@@ -449,7 +452,11 @@ def _stages_2level(
                 )
             # Fused accumulate at the union capacity (round 3; see
             # route._routed_stages): one pass per share instead of
-            # multiply + sort-based union add.
+            # multiply + sort-based union add.  The FIRST executed
+            # share multiply skips the accumulate — its accumulator is
+            # the empty C, and the beta*0 gather-add is NOT elided by
+            # XLA (~0.87 ms at B2's union size on v5e;
+            # scripts/profile_routed_1dev.py).
             c, info = spgemm(
                 a_loc,
                 share,
@@ -458,7 +465,7 @@ def _stages_2level(
                 row_caps=(mbr, plan.union_c_row_max),
                 backend=backend,
                 precision=precision,
-                accum=c,
+                accum=None if first_mul else c,
                 beta=1.0,
                 plan=pl,
             )

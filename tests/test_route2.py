@@ -122,11 +122,18 @@ def test_2level_sp2_step_matches_flat(mesh_hc):
     )
 
 
-def test_2level_frozen_sp2_and_planned_purify(mesh_hc, monkeypatch):
+def test_2level_frozen_sp2_and_planned_purify(monkeypatch):
     """freeze_route2_plan: the frozen two-level SP2 step matches the
     unfrozen one bit-exactly; plan_purify_2level + dist_purify_2level
-    run with ZERO host replanning and loud staleness."""
-    mesh, h, c = mesh_hc
+    run with ZERO host replanning and loud staleness.
+
+    One mesh factorization only (2x4): this end-to-end test is the
+    suite's most expensive (~3 min of XLA:CPU compiles) and the h x c
+    split logic is already covered on BOTH factorizations by the
+    cheaper test_2level_sp2_step_matches_flat / _spgemm_matches_oracle
+    above (VERDICT r3 item 7 — suite runtime)."""
+    h, c = 2, 4
+    mesh = route2.make_mesh_2level(h, c)
     n, b = 512, 16
     nocc = n // 4
     X = _purify_input(n, b)
