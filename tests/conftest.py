@@ -45,17 +45,24 @@ if _cache_dir:
 # bounded; cross-module compile reuse is minimal anyway (each module
 # compiles its own shapes).
 #
-# Root-cause status (round 4): 400 plain jit executables (distinct
-# shapes; sort/scatter/matmul mix) held live do NOT crash
-# (scripts/repro_xla_cpu_segfault.py), so the trigger involves the
-# suite's heavier executables (Pallas interpret mode / shard_map).
-# Set HBSM_NO_CACHE_DROP=1 to run the suite without the workaround —
-# the round-4 check of the full suite under that flag is recorded in
-# CLAUDE.md; keep the fixture unless that run stays clean across JAX
-# upgrades.  Dropping caches is SAFE (not just convenient): it only
-# discards compiled executables between modules, forcing recompiles —
-# never results; each module compiles its own capacity-bucket shapes,
-# so cross-module reuse (and thus the cost of dropping) is minimal.
+# Root-cause status (round 4, 2026-08-20): the crash is DETERMINISTIC
+# at the same test index (~76% of the suite) in BOTH compile paths —
+# with the persistent cache it faults inside
+# compilation_cache.get_executable_and_time (AOT deserialization),
+# without it inside compiler.backend_compile_and_load (plain compile)
+# — so the trigger is REGISTERING the ~Nth executable while ~150
+# heavyweight (Pallas-interpret / shard_map) executables are live, not
+# any particular program or load path.  400 plain jit executables held
+# live do NOT crash (scripts/repro_xla_cpu_segfault.py), so the
+# per-executable footprint of the heavy programs matters.  Set
+# HBSM_NO_CACHE_DROP=1 to re-test on JAX upgrades (full-suite runs
+# under that flag segfaulted on 2026-08-20 with and without
+# HBSM_TEST_CACHE; stacks in CLAUDE.md).  Dropping caches is SAFE (not
+# just convenient): it only discards compiled executables between
+# modules, forcing recompiles — never results; each module compiles
+# its own capacity-bucket shapes, so cross-module reuse (and thus the
+# cost of dropping) is minimal, and with the persistent cache above
+# the recompiles are disk loads.
 import pytest  # noqa: E402
 
 
