@@ -423,9 +423,13 @@ def main():
         def _b2_leaf32():
             # B2 at its CONFIGURED granularity (BASELINE.json:8: random
             # 16384^2, 5% block density, LEAF 32 — VERDICT r3 item 1).
-            # Honest dual accounting (like B1's) + the occupancy-
-            # exploiting packed-contraction path (ops.kpack) vs the
-            # naive coarsen-to-128 tile enumeration.
+            # Honest dual accounting (like B1's); three numeric paths:
+            # (a) naive coarsen-to-128 tile enumeration, (b) the
+            # packed-contraction path (ops.kpack), (c) DIRECT spgemm at
+            # b=32 — the rows kernel's contiguous panel DMAs amortize
+            # descriptor costs even at fine leaves, and (c) measured
+            # FASTEST (round 4: 44 vs 64 vs 252 ms;
+            # scripts/bench_fine_dispatch.py).  Headline = best path.
             import dataclasses as _dc
 
             import hierarchical_block_sparse_lib_tpu as hbsm
@@ -443,6 +447,11 @@ def main():
             A32 = random_block_matrix(n, bf, 0.05, seed=2)
             fine_pairs, _ = plan_spgemm(A32, A32)
             f = 128 // bf
+            # (c) Direct path at the native leaf granularity.
+            res_d = bench_spgemm(
+                A32, "B2-leaf32 direct(b=32)", Ks=(1, 3),
+                precision=args.precision,
+            )
             # (a) Naive path: coarsen to MXU tiles, enumerate tile
             # pairs.  The occupancy mask keeps the leaf counter honest
             # (cross-checked against the host fine plan inside
@@ -500,14 +509,56 @@ def main():
             )
             log(f"B2-leaf32 kpack vs coarsened-path rel err: {err:.1e}")
             assert err < 1e-4, err
+            # Numerics cross-check of the DIRECT fine path vs kpack:
+            # coarsen the fine product — supports must agree (kpack's
+            # tile support IS the fine support rounded to tiles).
+            Cd32, _ = hbsm.spgemm(
+                A32, A32,
+                pair_cap=res_d["pairs"], out_cap=res_d["out"],
+                precision="highest",
+            )
+            from hierarchical_block_sparse_lib_tpu.ops.repack import (
+                plan_coarsen as _pcoarse,
+            )
+            Cd128 = hbsm.coarsen(Cd32, f, cap=_pcoarse(Cd32, f))
+            assert int(Cd128.nnz) == kplan.n_tiles, (
+                int(Cd128.nnz), kplan.n_tiles
+            )
+            err_d = float(
+                _jnp.max(_jnp.abs(Cd128.data[: kplan.n_tiles] - Ck.data))
+                / max(1e-9, float(_jnp.max(_jnp.abs(Ck.data))))
+            )
+            log(f"B2-leaf32 direct vs kpack rel err: {err_d:.1e}")
+            assert err_d < 1e-4, err_d
+            # Headline = best honest path (round 4: direct b=32 wins —
+            # 44 vs 64 ms; the rows kernel's contiguous panel DMAs beat
+            # kpack's 15.3x panel smear).
+            cands = {
+                "direct_b32": min(res_d["time_s"], res_d["time_planned_s"]),
+                "kpack": dtk,
+                "coarsen": naive_t,
+            }
+            best_path = min(cands, key=cands.get)
+            best_t = cands[best_path]
+            best_honest = 2 * bf**3 * fine_pairs / best_t / 1e9
+            log(
+                f"B2-leaf32 BEST path: {best_path} t={best_t*1e3:.2f} ms "
+                f"honest leaf-32 eff={best_honest:.1f} GFLOP/s"
+            )
             results["B2leaf32"] = dict(
                 fine_pairs=int(fine_pairs),
                 naive_time_s=naive_t,
                 naive_honest_gflops=honest_n,
+                direct_time_s=res_d["time_s"],
+                direct_planned_time_s=res_d["time_planned_s"],
+                direct_honest_gflops=res_d["eff_gflops"],
                 kpack_time_s=dtk,
                 kpack_honest_gflops=honest_k,
                 kpack_inflation=kplan.inflation,
                 speedup_vs_naive=naive_t / dtk,
+                best_path=best_path,
+                best_time_s=best_t,
+                best_honest_gflops=best_honest,
             )
 
         def _b2_default():
@@ -692,7 +743,7 @@ def main():
     # Falls back to the tile-128 row if the leaf-32 stage failed.
     if "B2leaf32" in results:
         b2l = results["B2leaf32"]
-        value, t_b2 = b2l["kpack_honest_gflops"], b2l["kpack_time_s"]
+        value, t_b2 = b2l["best_honest_gflops"], b2l["best_time_s"]
     else:
         b2 = results["B2"]
         value, t_b2 = b2["eff_gflops"], b2["time_s"]

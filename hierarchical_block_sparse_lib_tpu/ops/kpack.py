@@ -37,6 +37,17 @@ Like every planned primitive here, the plan self-validates against the
 operand id structure on use (`info.plan_mismatch` — loud, never
 silent).  Counters report HONEST fine-leaf multiplies (the reference's
 `no_of_block_multiplies` at ITS leaf size, SURVEY.md C12).
+
+Measured standing (round 4, scripts/bench_fine_dispatch.py, B2
+16384^2 leaf-32 5%, f32-highest): kpack 64 ms beats coarsen-to-128
+enumeration (266 ms, 123x tile-pair inflation) 4.2x — but DIRECT
+spgemm at b=32 beats kpack at 44 ms: the rows kernel's contiguous
+panel DMAs amortize descriptor costs even at fine leaves, while kpack
+pays a 15.3x panel smear (~27% leaf occupancy per packed slice) plus
+~2x gather traffic.  Use kpack when a 128-tile OUTPUT is wanted
+anyway (e.g. feeding a coarse-granularity chain) or at densities
+where per-slice occupancy is higher; otherwise plain `spgemm` at the
+native leaf size is the fast path.
 """
 
 from __future__ import annotations
