@@ -41,10 +41,12 @@ silent).  Counters report HONEST fine-leaf multiplies (the reference's
 Measured standing (round 4, scripts/bench_fine_dispatch.py, B2
 16384^2 leaf-32 5%, f32-highest): kpack 64 ms beats coarsen-to-128
 enumeration (266 ms, 123x tile-pair inflation) 4.2x — but DIRECT
-spgemm at b=32 beats kpack at 44 ms: the rows kernel's contiguous
-panel DMAs amortize descriptor costs even at fine leaves, while kpack
-pays a 15.3x panel smear (~27% leaf occupancy per packed slice) plus
-~2x gather traffic.  Use kpack when a 128-tile OUTPUT is wanted
+spgemm at b=32 beats kpack at 44 ms.  The direct winner runs on the
+XLA gather + batched dot_general + segment-sum backend (NOT a Pallas
+kernel: Mosaic rejects sub-128 block slices, so rows/stream fail to
+compile at b=32 — scripts/bench_b32_backend.py), while kpack pays a
+15.3x panel smear (~27% leaf occupancy per packed slice) plus ~2x
+gather traffic.  Use kpack when a 128-tile OUTPUT is wanted
 anyway (e.g. feeding a coarse-granularity chain) or at densities
 where per-slice occupancy is higher; otherwise plain `spgemm` at the
 native leaf size is the fast path.
@@ -310,6 +312,13 @@ def kpack_spgemm(
       directly on the gathered [Tg, Lk, tile, bf] x [Tg, Lk, bf, tile]
       panels; XLA picks the layouts.
     """
+    if layout not in ("plain", "t", "mc"):
+        # A typo must not silently measure the default variant
+        # (ADVICE r4): the branches below would otherwise fall through
+        # to "plain".
+        raise ValueError(
+            f"layout must be one of 'plain'/'t'/'mc', got {layout!r}"
+        )
     bf = plan.block_size
     f = plan.leaves
     tile = plan.tile

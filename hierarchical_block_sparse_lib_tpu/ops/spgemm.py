@@ -305,6 +305,65 @@ _PRECISION = {
 }
 
 
+def resolve_backend(
+    block_size,
+    dtype,
+    nbc_b: int,
+    pair_cap: int,
+    row_caps=None,
+    group_caps=None,
+    filter_by_norm: bool = False,
+    syrk_upper: bool = False,
+) -> str:
+    """The backend `spgemm(backend="auto")` will execute with, as a
+    host-side decision callers can log/inspect (VERDICT r4 item 2: the
+    bench must record the backend that actually ran).  Mirrors the
+    dispatch rules exactly — spgemm itself calls this."""
+    from hierarchical_block_sparse_lib_tpu.kernels import (
+        pallas_gemm_groups,
+        pallas_gemm_rows,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    if jnp.dtype(dtype) == jnp.float64:
+        # The Pallas kernels accumulate in f32; f64 (x64 mode, CPU)
+        # must take the dtype-clean dot_general path.
+        return "xla"
+    if (
+        on_tpu
+        and group_caps is not None
+        and not filter_by_norm
+        and not syrk_upper
+        and pallas_gemm_groups.supported(
+            block_size, dtype, *group_caps[1:], nbc_b
+        )
+    ):
+        return "groups"
+    if (
+        on_tpu
+        and row_caps is not None
+        # Below ~1k pairs the row-panel kernel's per-grid-row fixed
+        # costs (one grid step per A block-row regardless of row
+        # occupancy) exceed the stream kernel's per-pair costs:
+        # measured on B1 (278 pairs) rows=634 ns/pair vs
+        # stream=362 ns/pair, crossing over as pair counts reach
+        # the thousands (B2: rows wins 18-24%).  pair_cap is the
+        # static trace-time proxy for the pair count.
+        and pair_cap >= 1024
+        and pallas_gemm_rows.supported(
+            block_size, dtype, row_caps[0], row_caps[1], nbc_b
+        )
+    ):
+        return "rows"
+    if block_size % (128 if on_tpu else 8) == 0:
+        return "pallas"
+    # Sub-128 leaves (e.g. the configured 16/32): Mosaic rejects
+    # sub-128 HBM block slices, so every Pallas kernel is unsupported
+    # and the gather+dot_general fallback runs
+    # (scripts/bench_b32_backend.py).
+    return "xla"
+
+
 def _xla_numeric(a_data, b_data, a_idx, b_idx, acc_dtype, precision):
     """Gather + batched MXU GEMM via dot_general (the portable path)."""
     pa = a_data[a_idx]
@@ -585,47 +644,12 @@ def spgemm(
             out_ids_pre, seg, pos_acc, n_unique = basic.union_merge(
                 c_id, acc_ids, out_cap
             )
-    on_tpu = jax.default_backend() == "tpu"
     if backend == "auto":
-        from hierarchical_block_sparse_lib_tpu.kernels import (
-            pallas_gemm_groups,
-            pallas_gemm_rows,
+        backend = resolve_backend(
+            a.block_size, a.dtype, b.nb_cols, pair_cap,
+            row_caps=row_caps, group_caps=group_caps,
+            filter_by_norm=filter_by_norm, syrk_upper=syrk_upper,
         )
-
-        if a.dtype == jnp.float64:
-            # The Pallas kernels accumulate in f32; f64 (x64 mode, CPU)
-            # must take the dtype-clean dot_general path.
-            backend = "xla"
-        elif (
-            on_tpu
-            and group_caps is not None
-            and not filter_by_norm
-            and not syrk_upper
-            and pallas_gemm_groups.supported(
-                a.block_size, a.dtype, *group_caps[1:], b.nb_cols
-            )
-        ):
-            backend = "groups"
-        elif (
-            on_tpu
-            and row_caps is not None
-            # Below ~1k pairs the row-panel kernel's per-grid-row fixed
-            # costs (one grid step per A block-row regardless of row
-            # occupancy) exceed the stream kernel's per-pair costs:
-            # measured on B1 (278 pairs) rows=634 ns/pair vs
-            # stream=362 ns/pair, crossing over as pair counts reach
-            # the thousands (B2: rows wins 18-24%).  pair_cap is the
-            # static trace-time proxy for the pair count.
-            and pair_cap >= 1024
-            and pallas_gemm_rows.supported(
-                a.block_size, a.dtype, row_caps[0], row_caps[1], b.nb_cols
-            )
-        ):
-            backend = "rows"
-        elif a.block_size % (128 if on_tpu else 8) == 0:
-            backend = "pallas"
-        else:
-            backend = "xla"
     acc_dtype = jnp.promote_types(a.dtype, jnp.float32)
     if backend == "groups":
         from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_groups import (

@@ -282,8 +282,16 @@ def freeze_route_plan(
     the running per-device union as the accumulator structure — so the
     frozen chain reproduces `_routed_stages`' fused accumulates
     bit-exactly (stage k's union out_ids feed stage k+1's accum check).
-    One-time eager cost (P x stages make_plan calls); the SCF /
-    fixed-structure regime amortizes it."""
+    One-time eager cost, amortized by the SCF / fixed-structure regime.
+
+    The per-device plans of one stage are independent and share static
+    shapes, so each stage is ONE `jax.vmap`-batched dispatch over the
+    device axis instead of P sequential `make_plan` calls (VERDICT r4
+    item 9: the per-call host/jnp dispatch constant, ~10 ms, made the
+    sequential freeze cost 42 s at P=64; batched it is one dispatch +
+    one compile per distinct stage pair_cap)."""
+    from functools import partial
+
     from hierarchical_block_sparse_lib_tpu.ops.spgemm import make_plan
 
     n_dev = plan.n_dev
@@ -291,56 +299,58 @@ def freeze_route_plan(
     b_ids = np.asarray(b.ids)
     out_cap = plan.out_cap
     sent = int(SENTINEL)
-    b_local_blocks = b.data.shape[-1]
 
-    stage_plans = []
-    # Running per-device union structure (the accumulator each stage
-    # sees), starting from the empty accumulator of `_routed_stages`.
-    u_ids = [
-        jnp.full((out_cap,), SENTINEL, jnp.int32) for _ in range(n_dev)
-    ]
-    dummy = jnp.zeros((1, b_local_blocks, b_local_blocks), b.dtype)
-    for k, t in enumerate(plan.stages):
-        per_dev = []
-        for d in range(n_dev):
-            s = (d + t) % n_dev
-            idx = plan.send_idx[k][s]
-            valid = idx >= 0
-            pan = np.where(
-                valid, b_ids[s][np.maximum(idx, 0)], sent
-            ).astype(np.int32)
+    @partial(jax.jit, static_argnames=("pair_cap",))
+    def _stage_batched(a_ids_all, pan_all, u_all, pair_cap):
+        # The symbolic phase reads only ids + static geometry, so the
+        # data payload is a 1x1 dummy (never touched by make_plan).
+        def one(aid, pid, uid):
             a_d = BlockMatrix(
-                ids=jnp.asarray(a_ids[d]),
-                data=jnp.broadcast_to(
-                    dummy, (a_ids[d].shape[0],) + dummy.shape[1:]
-                ),
-                nnz=jnp.asarray(int((a_ids[d] != sent).sum()), jnp.int32),
+                ids=aid,
+                data=jnp.zeros((aid.shape[0], 1, 1), b.dtype),
+                nnz=jnp.sum(aid != SENTINEL).astype(jnp.int32),
                 n_rows=a.n_rows,
                 n_cols=a.n_cols,
                 block_size=a.block_size,
             )
             pan_m = BlockMatrix(
-                ids=jnp.asarray(pan),
-                data=jnp.broadcast_to(
-                    dummy, (pan.shape[0],) + dummy.shape[1:]
-                ),
-                nnz=jnp.asarray(int((pan != sent).sum()), jnp.int32),
+                ids=pid,
+                data=jnp.zeros((pid.shape[0], 1, 1), b.dtype),
+                nnz=jnp.sum(pid != SENTINEL).astype(jnp.int32),
                 n_rows=b.n_rows,
                 n_cols=b.n_cols,
                 block_size=b.block_size,
             )
-            pl = make_plan(
-                a_d,
-                pan_m,
-                plan.stage_pair_caps[k],
-                accum_ids=u_ids[d],
-                out_cap=out_cap,
+            return make_plan(
+                a_d, pan_m, pair_cap, accum_ids=uid, out_cap=out_cap
             )
-            u_ids[d] = pl.out_ids
-            per_dev.append(pl)
-        stage_plans.append(
-            jax.tree.map(lambda *v: jnp.stack(v), *per_dev)
+
+        return jax.vmap(one)(a_ids_all, pan_all, u_all)
+
+    a_ids_all = jnp.asarray(a_ids)
+    stage_plans = []
+    # Running per-device union structure (the accumulator each stage
+    # sees), starting from the empty accumulator of `_routed_stages`.
+    u_all = jnp.full((n_dev, out_cap), SENTINEL, jnp.int32)
+    for k, t in enumerate(plan.stages):
+        pan_all = np.stack(
+            [
+                np.where(
+                    plan.send_idx[k][(d + t) % n_dev] >= 0,
+                    b_ids[(d + t) % n_dev][
+                        np.maximum(plan.send_idx[k][(d + t) % n_dev], 0)
+                    ],
+                    sent,
+                ).astype(np.int32)
+                for d in range(n_dev)
+            ]
         )
+        sp = _stage_batched(
+            a_ids_all, jnp.asarray(pan_all), u_all,
+            plan.stage_pair_caps[k],
+        )
+        u_all = sp.out_ids
+        stage_plans.append(sp)
     return FrozenRoutePlan(route=plan, stage_plans=tuple(stage_plans))
 
 

@@ -149,6 +149,28 @@ def test_kpack_guard_and_mismatch():
         assert bool(info.plan_mismatch)
 
 
+def test_kpack_layout_variants_equivalent():
+    """The three panel-assembly layouts are the same math (ADVICE r4:
+    the 't'/'mc' variants previously had no CPU equivalence coverage);
+    an unknown layout string must raise, not silently run 'plain'."""
+    A, dA = random_fine(256, 16, 0.1, seed=7)
+    plan = plan_kpack(A, A, tile=64, n_groups=3)
+    ref = None
+    for layout in ("plain", "t", "mc"):
+        C, info = kpack_spgemm(A, A, plan, layout=layout)
+        assert not bool(info.plan_mismatch)
+        got = np.asarray(C.data)
+        if ref is None:
+            ref = got
+            np.testing.assert_allclose(
+                np.asarray(hbsm.to_dense(C)), dA @ dA, rtol=2e-4, atol=1e-3
+            )
+        else:
+            np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="layout"):
+        kpack_spgemm(A, A, plan, layout="plian")
+
+
 def test_kpack_empty_tiles_absent():
     """A matrix whose product support misses some coarse tiles: kpack
     must emit exactly the touched tiles, no more."""
