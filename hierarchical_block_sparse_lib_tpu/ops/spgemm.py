@@ -320,6 +320,7 @@ def resolve_backend(
     bench must record the backend that actually ran).  Mirrors the
     dispatch rules exactly — spgemm itself calls this."""
     from hierarchical_block_sparse_lib_tpu.kernels import (
+        pallas_gemm_fine,
         pallas_gemm_groups,
         pallas_gemm_rows,
     )
@@ -357,9 +358,22 @@ def resolve_backend(
         return "rows"
     if block_size % (128 if on_tpu else 8) == 0:
         return "pallas"
-    # Sub-128 leaves (e.g. the configured 16/32): Mosaic rejects
-    # sub-128 HBM block slices, so every Pallas kernel is unsupported
-    # and the gather+dot_general fallback runs
+    if (
+        on_tpu
+        and row_caps is not None
+        and not filter_by_norm
+        and not syrk_upper
+        and pallas_gemm_fine.supported(
+            block_size, dtype, row_caps[0], row_caps[1], nbc_b
+        )
+    ):
+        # Sub-128 leaves (the reference's configured 16/32): the
+        # flat-layout block-diagonal row kernel (round 5) — Mosaic
+        # rejects sub-128 block slices, so the 128-tile kernels cannot
+        # run, but [b,b] blocks stored as [b^2/128,128] flat tiles can
+        # (kernels/pallas_gemm_fine.py).
+        return "fine"
+    # Remaining sub-128 cases run the gather+dot_general fallback
     # (scripts/bench_b32_backend.py).
     return "xla"
 
@@ -699,6 +713,23 @@ def spgemm(
             row_caps[0], row_caps[1], precision=precision,
             triu=syrk_upper, **fkw,
         )
+    elif backend == "fine":
+        from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_fine import (
+            fine_spgemm,
+        )
+
+        if row_caps is None:
+            raise ValueError("backend='fine' requires row_caps (plan_spgemm_ex)")
+        if filter_by_norm or syrk_upper:
+            raise ValueError(
+                "backend='fine' supports neither filter_by_norm nor "
+                "syrk_upper; use the xla backend at sub-128 leaves"
+            )
+        out_data = fine_spgemm(
+            a.ids, a.data, b.ids, b.data, out_ids_pre,
+            a.nb_rows, b.nb_rows, b.nb_cols, out_cap,
+            row_caps[0], row_caps[1], precision=precision,
+        )
     elif backend == "pallas":
         from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_stream import (
             gather_gemm_accumulate_stream,
@@ -713,7 +744,7 @@ def spgemm(
             (out_cap, a.block_size, b.block_size), acc_dtype, precision,
         )
     out_ids = out_ids_pre
-    if backend == "rows":
+    if backend in ("rows", "fine"):
         # The kernel clamps per-row block counts to the (bucketed) static
         # row caps; an undersized plan would silently drop panel entries.
         # Flag it here from the true per-row maxima (ADVICE.md r1 high).
@@ -790,7 +821,7 @@ def spgemm(
     else:
         row_overflow = jnp.zeros((), bool)
     alpha_is_one = isinstance(alpha, (int, float)) and float(alpha) == 1.0
-    exact_fill = backend in ("rows", "groups")
+    exact_fill = backend in ("rows", "groups", "fine")
     if exact_fill and alpha_is_one and a.dtype == out_data.dtype:
         # The row-panel kernel writes every used slot exactly and
         # zero-fills the tail in-kernel: no post-pass needed — this

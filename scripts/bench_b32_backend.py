@@ -1,19 +1,21 @@
-"""Backend A/B for the new honest-B2 winner: spgemm at the NATIVE
-b=32 granularity (scripts/bench_fine_dispatch.py found direct-fine
-beats kpack/coarsen; this pins WHICH kernel and whether more is on the
-table).  One process, chained-differential.
+"""Backend A/B at the CONFIGURED B2 granularity: spgemm at the NATIVE
+b=32 (16384^2, 5% block density, 336k fine pairs).
 
-Backends at B2 leaf-32 (336k fine pairs), unplanned and planned:
-  rows    — row-panel kernel: FAILS Mosaic compile at b=32 ("Slice
-            shape along dimension 2 must be aligned to tiling (128)")
-            — sub-128 blocks cannot be sliced from HBM by Mosaic, so
-            the auto dispatch's Pallas gates exclude them
-  stream  — per-pair streaming kernel: same Mosaic alignment failure
-  xla     — gather + batched dot_general + segment sum: the path auto
-            actually dispatches at fine granularity, and the winner
-            (round 4: 43.5 ms unplanned / 11.0 ms planned = 33 ns per
-            fine pair, ~2.0 TF/s honest leaf-32)
-Plus the planned auto run at precision=default (error-tolerant rate).
+History: round 4 found "direct b=32" fastest and recorded 11-15 ms
+planned — but those figures came from K-span (1,3) differentials, and
+round 5's raw-curve measurement (scripts/profile_fine32b.py) showed
+t(K) of the xla chain has a ~200 ms K=1 constant anomaly and a TRUE
+steady-state slope of ~110 ms/iter.  All spans here start at K >= 2.
+
+Backends:
+  rows/stream — 128-tile Pallas kernels: FAIL Mosaic compile at b=32
+       ("Slice shape along dimension 2 must be aligned to tiling
+       (128)") — kept to document the failure mode.
+  xla  — gather + batched dot_general + segment sum: the pre-round-5
+       fallback (true steady state ~110 ms/iter planned).
+  fine — the round-5 flat-layout block-diagonal row kernel
+       (kernels/pallas_gemm_fine.py): [8,128] flat blocks, K=128 BD
+       dots, in-kernel row accumulate.
 
 Run on the real TPU:  python scripts/bench_b32_backend.py
 """
@@ -28,6 +30,8 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import numpy as np
 
 import bench
 import hierarchical_block_sparse_lib_tpu as hbsm
@@ -44,9 +48,30 @@ if __name__ == "__main__":
     plan = jax.block_until_ready(hbsm.make_plan(A, A, pc))
     hon = 2 * bf**3 * pc
 
+    # Numerics: fine vs xla on-chip (untimed).
+    Cf, inf_f = hbsm.spgemm(
+        A, A, pair_cap=pc, out_cap=oc, row_caps=(mbr, mcr),
+        precision=PRECISION, backend="fine",
+    )
+    Cx, _ = hbsm.spgemm(
+        A, A, pair_cap=pc, out_cap=oc, precision=PRECISION,
+        backend="xla",
+    )
+    import jax.numpy as jnp
+
+    err = float(
+        jnp.max(jnp.abs(Cf.data - Cx.data))
+        / jnp.maximum(1e-9, jnp.max(jnp.abs(Cx.data)))
+    )
+    same_ids = bool(jnp.all(Cf.ids == Cx.ids))
+    print(f"fine vs xla: ids equal={same_ids} max rel={err:.2e} "
+          f"row_overflow={bool(inf_f.row_overflow)}")
+    assert same_ids and err < 1e-5, (same_ids, err)
+
     cases = [
         ("rows", dict(backend="rows", row_caps=(mbr, mcr))),
         ("stream", dict(backend="pallas")),
+        ("fine", dict(backend="fine", row_caps=(mbr, mcr))),
         ("xla", dict(backend="xla")),
     ]
     for name, kw in cases:
@@ -64,9 +89,10 @@ if __name__ == "__main__":
                 return C.data
 
             try:
-                dt = bench.bench_chained(build, A.data, Ks=(1, 3), reps=2)
+                dt = bench.bench_chained(build, A.data, Ks=(2, 8), reps=2)
             except Exception as e:  # noqa: BLE001
-                print(f"  {name:7s} planned={planned}: FAILED {e!r}")
+                print(f"  {name:7s} planned={planned}: FAILED "
+                      f"{str(e)[:160]!r}")
                 continue
             print(
                 f"  {name:7s} planned={planned}: t={dt*1e3:8.2f} ms  "
@@ -77,15 +103,13 @@ if __name__ == "__main__":
     def build_def(d):
         m = dataclasses.replace(A, data=d)
         C, _ = hbsm.spgemm(
-            m, m, pair_cap=pc, out_cap=oc,
-            precision="default", plan=plan, backend="xla",
+            m, m, pair_cap=pc, out_cap=oc, row_caps=(mbr, mcr),
+            precision="default", plan=plan, backend="fine",
         )
         return C.data
 
-    # Wider K span: at ~10 ms/iter the (1,3) differential is inside
-    # this backend's noise floor (a negative slope was observed once).
-    dt = bench.bench_chained(build_def, A.data, Ks=(2, 10), reps=3)
+    dt = bench.bench_chained(build_def, A.data, Ks=(2, 8), reps=2)
     print(
-        f"  xla planned, precision=default: t={dt*1e3:8.2f} ms  "
+        f"  fine planned, precision=default: t={dt*1e3:8.2f} ms  "
         f"honest={hon/dt/1e9:7.1f} GFLOP/s ({1e9*dt/pc:.0f} ns/pair)"
     )
