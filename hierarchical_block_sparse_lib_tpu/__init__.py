@@ -100,6 +100,18 @@ from hierarchical_block_sparse_lib_tpu.ops.leafpack import (
     leafpack_spgemm,
     plan_leafpack,
 )
+from hierarchical_block_sparse_lib_tpu.ops.fine import (
+    FineFlat,
+    FinePlan,
+    fine_add,
+    fine_frob_squared,
+    fine_matmul,
+    fine_pack,
+    fine_scale,
+    fine_truncate,
+    fine_unpack,
+    make_fine_plan,
+)
 from hierarchical_block_sparse_lib_tpu.ops.matmul import matmul, syrk
 from hierarchical_block_sparse_lib_tpu.ops.slab import spgemm_colslab
 from hierarchical_block_sparse_lib_tpu.ops.spmm import spmm, spmv
@@ -161,6 +173,16 @@ __all__ = [
     "KpackPlan",
     "kpack_spgemm",
     "plan_kpack",
+    "FineFlat",
+    "FinePlan",
+    "make_fine_plan",
+    "fine_pack",
+    "fine_unpack",
+    "fine_matmul",
+    "fine_add",
+    "fine_scale",
+    "fine_truncate",
+    "fine_frob_squared",
     "matmul",
     "syrk",
     "plan_syrk",

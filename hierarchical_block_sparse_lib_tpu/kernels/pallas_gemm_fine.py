@@ -82,16 +82,21 @@ def _bucket(n: int) -> int:
     return max(-(-n // 8) * 8, 8)
 
 
+_PANEL_P = 4  # B-panel pipeline depth: lookahead 3 hides the ~1.5 us
+# DMA latency behind ~0.56 us/A-block compute (the 2-deep pipeline
+# measured latency-bound: 23 ms vs the 7.3 ms E12 composite floor).
+
+
 def _vmem_bytes(b: int, b_row_max: int, c_row_max: int) -> int:
     fr = (b * b) // 128
     bb = _bucket(max(b_row_max, 1))
     cb = _bucket(max(c_row_max, 1))
     return (
-        2 * bb * fr * 128 * 4      # B panel buffers (2 parities)
+        _PANEL_P * bb * fr * 128 * 4  # B panel buffers
         + 3 * _ACHUNK * b * 128 * 4  # A chunk stream (3 parities)
         + 2 * cb * fr * 128 * 4    # accumulator (2 parities)
-        + bb * fr * 128 * 4        # prod scratch
-        + 128 * 128 * 4            # BD scratch
+        + 2 * bb * fr * 128 * 4    # prod scratch (2 parities)
+        + 2 * 128 * 128 * 4        # BD scratch (2 parities)
     )
 
 
@@ -108,7 +113,7 @@ def supported(b: int, dtype, b_row_max: int, c_row_max: int, nbc: int) -> bool:
 
 def _make_kernel(
     b, fr, f, b_row_max, c_row_max, nbc, precision, nbr, out_cap,
-    cap_b_pad, n_achunks,
+    cap_b_pad, n_achunks, ablate="",
 ):
     # B panel chunk sizes: pow2 multiples of _G8 covering the rounded
     # panel length (rcnt = ceil(bcnt/8)*8 <= bucket(b_row_max)).
@@ -135,18 +140,19 @@ def _make_kernel(
         b_hbm,  # ANY [capB_pad * fr, 128] (flat B^T blocks)
         o_hbm,  # ANY [out_cap * fr, 128] f32 (flat C^T blocks)
         a_chunks,  # VMEM [3, _ACHUNK, b, 128]
-        b_panel,  # VMEM [2, b_row_max * fr, 128]
+        b_panel,  # VMEM [_PANEL_P, b_row_max * fr, 128]
         acc,  # VMEM [2, c_row_max * fr, 128] f32
-        bd,  # VMEM [128, 128]
-        prod,  # VMEM [b_row_max * fr, 128] f32
+        bd,  # VMEM [2, 128, 128]
+        prod,  # VMEM [2, b_row_max * fr, 128] f32
         postable,  # SMEM int32[nbc]
         state,  # SMEM int32[4]
         a_sems,  # DMA [3]
-        p_sems,  # DMA [2, len(chunk_sizes)]
+        p_sems,  # DMA [_PANEL_P, len(chunk_sizes)]
         f_sems,  # DMA [2, len(flush_sizes)]
         z_sem,  # DMA []
     ):
         i = pl.program_id(0)
+        a_total = a_row_start_ref[nbr]
 
         def fetch_achunk(c):
             pltpu.make_async_copy(
@@ -161,18 +167,6 @@ def _make_kernel(
                 a_chunks.at[jax.lax.rem(c, 3)],
                 a_sems.at[jax.lax.rem(c, 3)],
             ).wait()
-
-        @pl.when(i == 0)
-        def _():
-            state[0] = 0
-            state[1] = 0
-            state[2] = 0
-            # BD off-diagonal stays zero for the whole kernel; only the
-            # f diagonal b x b slots are overwritten per A block.
-            bd[:] = jnp.zeros((128, 128), jnp.float32)
-            fetch_achunk(0)
-            if n_achunks > 1:
-                fetch_achunk(1)
 
         a_lo = a_row_start_ref[i]
         a_cnt = a_row_start_ref[i + 1] - a_lo
@@ -209,6 +203,27 @@ def _make_kernel(
             blo, bcnt = _panel_range(e)
             panel_op(par, blo, bcnt, False)
 
+        @pl.when(i == 0)
+        def _():
+            state[0] = 0
+            state[1] = 0
+            state[2] = 0
+            # BD off-diagonal stays zero for the whole kernel; only the
+            # f diagonal b x b slots are overwritten per A block.
+            bd[:] = jnp.zeros((2, 128, 128), jnp.float32)
+            fetch_achunk(0)
+            if n_achunks > 1:
+                fetch_achunk(1)
+            # Prologue of the global B-panel fetch chain (flow): blocks
+            # 0.._PANEL_P-2 into their parities — block e+_PANEL_P-1 is
+            # then fetched at block e's iteration, ACROSS row
+            # boundaries, keeping the lookahead depth constant.
+            if "nofetch" not in ablate:
+                for j in range(_PANEL_P - 1):
+                    @pl.when(j < a_total)
+                    def _(j=j):
+                        fetch_e(j, j)
+
         def flush_op(par, dst_lo, cnt, do_start):
             for ci, fs in enumerate(flush_sizes):
                 @pl.when((cnt & fs) != 0)
@@ -235,33 +250,47 @@ def _make_kernel(
 
             def init_slot(s, _):
                 postable[ccol_ref[c_lo + s]] = s
-                acc[fpar, pl.ds(s * fr, fr)] = jnp.zeros(
-                    (fr, 128), jnp.float32
-                )
                 return 0
 
-            jax.lax.fori_loop(0, c_cnt, init_slot, 0)
+            if "noinit" not in ablate:
+                jax.lax.fori_loop(0, c_cnt, init_slot, 0)
+                # Bulk acc zeroing in pow2 chunks (a per-slot [fr,128]
+                # zero inside the loop above measured ~1.9 ms at B2).
+                for fs in flush_sizes:
+                    @pl.when((c_cnt & fs) != 0)
+                    def _(fs=fs):
+                        off = c_cnt & ~(2 * fs - 1)
+                        acc[fpar, pl.ds(off * fr, fs * fr)] = jnp.zeros(
+                            (fs * fr, 128), jnp.float32
+                        )
 
         def compute_e(par, e):
             blo, bcnt = _panel_range(e)
             # BD(A_ik^T): f diagonal copies of the b x b transposed
             # block (static slices; off-diagonal pre-zeroed once).
-            lg = a_chunks[
-                jax.lax.rem(e // _ACHUNK, 3), jax.lax.rem(e, _ACHUNK)
-            ][:, 0:b]
-            for t in range(f):
-                bd[b * t:b * (t + 1), b * t:b * (t + 1)] = lg
+            # BD double-buffers on e's parity so block e+1's BD build
+            # need not wait for block e's dots.
+            bpar = jax.lax.rem(e, 2)
+            if "nobd" not in ablate:
+                lg = a_chunks[
+                    jax.lax.rem(e // _ACHUNK, 3), jax.lax.rem(e, _ACHUNK)
+                ][:, 0:b]
+                for t in range(f):
+                    bd[bpar, b * t:b * (t + 1), b * t:b * (t + 1)] = lg
 
             def chunk(off, csize):
                 # The dot covers the g8-ROUNDED chunk (fragmenting the
                 # panel into exact-bcnt pow2 pieces measured ~2x
                 # slower: small-M dots pay BD weight loads); junk rows
                 # past bcnt are computed but never accumulated.
-                prod[pl.ds(0, csize * fr), :] = mxu_dot(
-                    b_panel[par, pl.ds(off * fr, csize * fr)],
-                    bd[:],
-                    (((1,), (0,)), ((), ())),
-                )
+                # prod double-buffers on e's parity: the VPU adds of
+                # block e can overlap the MXU dot of block e+1.
+                if "nodots" not in ablate:
+                    prod[bpar, pl.ds(0, csize * fr), :] = mxu_dot(
+                        b_panel[par, pl.ds(off * fr, csize * fr)],
+                        bd[bpar],
+                        (((1,), (0,)), ((), ())),
+                    )
 
                 def add1(t, _):
                     pos = jnp.clip(
@@ -269,13 +298,14 @@ def _make_kernel(
                         0, c_row_max - 1,
                     )
                     acc[fpar, pl.ds(pos * fr, fr)] += prod[
-                        pl.ds(t * fr, fr)
+                        bpar, pl.ds(t * fr, fr)
                     ]
                     return 0
 
-                jax.lax.fori_loop(
-                    0, jnp.minimum(csize, bcnt - off), add1, 0
-                )
+                if "noadds" not in ablate:
+                    jax.lax.fori_loop(
+                        0, jnp.minimum(csize, bcnt - off), add1, 0
+                    )
 
             rcnt = ((bcnt + _G8 - 1) // _G8) * _G8
             for s in chunk_sizes:
@@ -289,11 +319,9 @@ def _make_kernel(
 
         @pl.when(a_cnt > 0)
         def _():
-            fetch_e(jax.lax.rem(a_lo, 2), a_lo)
-
             def eloop(t, _):
                 e = a_lo + t
-                par = jax.lax.rem(e, 2)
+                par = jax.lax.rem(e, _PANEL_P)
 
                 # Global A-chunk stream: entering chunk c, retire it
                 # and prefetch c+2 (3 parities; c+1 already in flight).
@@ -306,11 +334,16 @@ def _make_kernel(
                     def _():
                         fetch_achunk(c + 2)
 
-                @pl.when(t + 1 < a_cnt)
-                def _():
-                    fetch_e(1 - par, e + 1)
+                # Flow chain: keep the B-panel lookahead at depth
+                # _PANEL_P-1 across row boundaries.
+                if "nofetch" not in ablate:
+                    nxt = e + _PANEL_P - 1
 
-                wait_e(par, e)
+                    @pl.when(nxt < a_total)
+                    def _():
+                        fetch_e(jax.lax.rem(nxt, _PANEL_P), nxt)
+
+                    wait_e(par, e)
 
                 @pl.when(has_work)
                 def _():
@@ -369,42 +402,13 @@ def _make_kernel(
     return kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "nbr", "nbrB", "nbc", "out_cap", "b_row_max", "c_row_max",
-        "precision", "interpret",
-    ),
-)
-def fine_spgemm(
-    a_ids: jax.Array,  # int32[capA] sorted (SENTINEL padded)
-    a_data: jax.Array,  # [capA, b, b] canonical payloads
-    b_ids: jax.Array,  # int32[capB] sorted
-    b_data: jax.Array,  # [capB, b, b]
-    out_ids: jax.Array,  # int32[out_cap] sorted distinct output ids
-    nbr: int,
-    nbrB: int,
-    nbc: int,
-    out_cap: int,
-    b_row_max: int,
-    c_row_max: int,
-    precision: str = "highest",
-    interpret: bool | None = None,
-) -> jax.Array:
-    """f32[out_cap, b, b]: products accumulated into `out_ids` slots,
-    canonical payloads.  Tail slots are zero-filled in-kernel."""
-    b = a_data.shape[-1]
-    if b not in (16, 32, 64):
-        raise ValueError(f"fine kernel needs b in (16,32,64), got {b}")
-    fr = (b * b) // 128
-    f = 128 // b
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    if precision == "high" and jnp.dtype(a_data.dtype) != jnp.float32:
-        precision = "default"
-    b_row_max = _bucket(max(b_row_max, 1))
-    c_row_max = _bucket(max(c_row_max, 1))
-
+@functools.partial(jax.jit, static_argnames=("nbr", "nbrB", "nbc"))
+def build_tables(a_ids, b_ids, out_ids, nbr: int, nbrB: int, nbc: int):
+    """The kernel's scalar-prefetch row tables — pure functions of the
+    id STRUCTURE.  In the fixed-structure regime precompute these once
+    (ops.fine.make_fine_plan): each is a `searchsorted(method="sort")`
+    whose sort scales with CAPACITY (out_cap ~ 189k at the configured
+    B2 — several ms per call if rebuilt every iteration)."""
     sent = jnp.int32(jnp.iinfo(jnp.int32).max)
     a_rowv = jnp.where(a_ids == sent, jnp.int32(nbr), a_ids // jnp.int32(nbrB))
     a_row_start = jnp.searchsorted(
@@ -430,6 +434,75 @@ def fine_spgemm(
     ccol = jnp.where(out_ids == sent, 0, out_ids % jnp.int32(nbc)).astype(
         jnp.int32
     )
+    return (a_row_start, a_col, b_row_start, b_col, c_row_start, ccol)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nbr", "nbrB", "nbc", "out_cap", "b_row_max", "c_row_max",
+        "precision", "interpret", "block_size", "out_layout", "ablate",
+    ),
+)
+def fine_spgemm(
+    a_ids: jax.Array,  # int32[capA] sorted (SENTINEL padded)
+    a_data: jax.Array,  # [capA, b, b] canonical OR [capA, b^2/128, 128] flat
+    b_ids: jax.Array,  # int32[capB] sorted
+    b_data: jax.Array,  # [capB, b, b] or flat
+    out_ids: jax.Array,  # int32[out_cap] sorted distinct output ids
+    nbr: int,
+    nbrB: int,
+    nbc: int,
+    out_cap: int,
+    b_row_max: int,
+    c_row_max: int,
+    precision: str = "highest",
+    interpret: bool | None = None,
+    block_size: int | None = None,
+    out_layout: str = "canonical",
+    alpha: float | jax.Array = 1.0,
+    tables: tuple | None = None,
+    ablate: str = "",
+) -> jax.Array:
+    """Products accumulated into `out_ids` slots, `alpha`-scaled
+    (folded into the A-operand prep — one cheap pass over A instead of
+    a full pass over C).  Canonical payload shapes in/out by default;
+    pass flat `[cap, b^2/128, 128]` payloads (with `block_size=b`) and
+    `out_layout="flat"` for the flat-resident chain regime (ops.fine)
+    — skipping the 4x-padded canonical C tensor saves ~4 ms at B2
+    scale.  Tail slots are zero-filled in-kernel."""
+    if block_size is None:
+        b = a_data.shape[-1]
+    else:
+        b = block_size
+    if b not in (16, 32, 64):
+        raise ValueError(f"fine kernel needs b in (16,32,64), got {b}")
+    fr = (b * b) // 128
+    # Input layouts: canonical [cap,b,b] payloads, or the FineFlat
+    # convention — flat TRANSPOSED payloads [cap,fr,128] storing
+    # flat(X^T) per block (ops.fine).  The transposed-flat convention
+    # is what makes the whole multiply relayout-free: B is consumed
+    # as-is (the kernel needs flat(B^T)), A needs only a reshape+pad,
+    # and the kernel's raw output (flat(C^T)) IS the convention.
+    flat_in = a_data.shape[1:] == (fr, 128) and fr != b
+    if flat_in:
+        if b_data.shape[1:] != (fr, 128):
+            raise ValueError("mixed A/B payload layouts")
+    elif a_data.shape[1:] != (b, b) or b_data.shape[1:] != (b, b):
+        raise ValueError(
+            f"bad payload shapes {a_data.shape} {b_data.shape}"
+        )
+    f = 128 // b
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if precision == "high" and jnp.dtype(a_data.dtype) != jnp.float32:
+        precision = "default"
+    b_row_max = _bucket(max(b_row_max, 1))
+    c_row_max = _bucket(max(c_row_max, 1))
+
+    if tables is None:
+        tables = build_tables(a_ids, b_ids, out_ids, nbr, nbrB, nbc)
+    (a_row_start, a_col, b_row_start, b_col, c_row_start, ccol) = tables
 
     # Operand prep (XLA relayouts, measured ~free — module docstring):
     # A^T blocks widened to [b, 128] tiles (padded to whole A chunks);
@@ -438,24 +511,27 @@ def fine_spgemm(
     f32 = jnp.float32
     cap_a = a_data.shape[0]
     cap_a_pad = -(-cap_a // _ACHUNK) * _ACHUNK
+    if flat_in:
+        at_log = a_data.astype(f32).reshape(cap_a, b, b)  # A^T logical
+        btf_core = b_data.astype(f32).reshape(b_data.shape[0] * fr, 128)
+    else:
+        at_log = jnp.swapaxes(a_data.astype(f32), -1, -2)
+        btf_core = jnp.swapaxes(b_data.astype(f32), -1, -2).reshape(
+            b_data.shape[0] * fr, 128
+        )
     a_wide = jnp.zeros((cap_a_pad, b, 128), f32)
     a_wide = a_wide.at[:cap_a, :, :b].set(
-        jnp.swapaxes(a_data.astype(f32), -1, -2)
+        at_log * jnp.asarray(alpha, f32)
     )
     cap_b_pad = b_data.shape[0] + _G8
     btf = jnp.concatenate(
-        [
-            jnp.swapaxes(b_data.astype(f32), -1, -2).reshape(
-                b_data.shape[0] * fr, 128
-            ),
-            jnp.zeros((_G8 * fr, 128), f32),
-        ]
+        [btf_core, jnp.zeros((_G8 * fr, 128), f32)]
     )
 
     n_achunks = cap_a_pad // _ACHUNK
     kernel = _make_kernel(
         b, fr, f, b_row_max, c_row_max, nbc, precision, nbr, out_cap,
-        cap_b_pad, n_achunks,
+        cap_b_pad, n_achunks, ablate=ablate,
     )
     vma = getattr(jax.typeof(a_data), "vma", frozenset())
     rb_max = -(-b_row_max // _G8) * _G8
@@ -471,14 +547,14 @@ def fine_spgemm(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((3, _ACHUNK, b, 128), f32),
-            pltpu.VMEM((2, b_row_max * fr, 128), f32),
+            pltpu.VMEM((_PANEL_P, b_row_max * fr, 128), f32),
             pltpu.VMEM((2, c_row_max * fr, 128), f32),
-            pltpu.VMEM((128, 128), f32),
-            pltpu.VMEM((b_row_max * fr, 128), f32),
+            pltpu.VMEM((2, 128, 128), f32),
+            pltpu.VMEM((2, b_row_max * fr, 128), f32),
             pltpu.SMEM((nbc,), jnp.int32),
             pltpu.SMEM((4,), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
-            pltpu.SemaphoreType.DMA((2, n_chunk_sizes)),
+            pltpu.SemaphoreType.DMA((_PANEL_P, n_chunk_sizes)),
             pltpu.SemaphoreType.DMA((2, n_flush_sizes)),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -493,5 +569,12 @@ def fine_spgemm(
         a_row_start, a_col, b_row_start, b_col, c_row_start, ccol,
         a_wide, btf,
     )
-    # Flat C^T payloads -> canonical C payloads (free XLA relayout).
+    if out_layout == "flat":
+        # The raw kernel output IS the transposed-flat convention —
+        # zero post-pass (the flat->canonical->flat round trip measured
+        # 6.2 ms at B2 scale: XLA materializes the padded
+        # intermediate).
+        return out.reshape(out_cap, fr, 128)
+    # Flat C^T payloads -> canonical C payloads (one padded-write pass,
+    # ~6 ms at B2 scale — the canonical-storage tax).
     return jnp.swapaxes(out.reshape(out_cap, b, b), -1, -2)

@@ -100,6 +100,39 @@ if __name__ == "__main__":
                 f"({1e9*dt/pc:.0f} ns/pair)"
             )
 
+    # Flat-resident regime (ops.fine): payloads stay in the unpadded
+    # [8,128]-tile layout across the chain — skips the 4x-padded
+    # canonical C tensor (~4 ms at this scale).
+    Af = hbsm.fine_pack(A)
+    fplan = jax.block_until_ready(
+        hbsm.make_fine_plan(A, A, pc, oc, (mbr, mcr))
+    )
+
+    def build_flat(d):
+        m = dataclasses.replace(Af, data=d)
+        C, _ = hbsm.fine_matmul(
+            m, m, pair_cap=pc, out_cap=oc, row_caps=(mbr, mcr),
+            precision=PRECISION, plan=fplan,
+        )
+        return C.data
+
+    # Numerics: flat path vs xla (untimed).
+    Cff, _ = hbsm.fine_matmul(
+        Af, Af, pair_cap=pc, out_cap=oc, row_caps=(mbr, mcr),
+        precision=PRECISION,
+    )
+    errf = float(
+        jnp.max(jnp.abs(hbsm.fine_unpack(Cff).data - Cx.data))
+        / jnp.maximum(1e-9, jnp.max(jnp.abs(Cx.data)))
+    )
+    print(f"fine-flat vs xla: max rel={errf:.2e}")
+    assert errf < 1e-5, errf
+    dtf = bench.bench_chained(build_flat, Af.data, Ks=(2, 8), reps=2)
+    print(
+        f"  fine-flat planned (flat-resident): t={dtf*1e3:8.2f} ms  "
+        f"honest={hon/dtf/1e9:7.1f} GFLOP/s ({1e9*dtf/pc:.0f} ns/pair)"
+    )
+
     def build_def(d):
         m = dataclasses.replace(A, data=d)
         C, _ = hbsm.spgemm(

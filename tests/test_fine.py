@@ -128,10 +128,76 @@ def test_fine_matches_xla_backend_bitwise_structure():
     )
 
 
+def test_fine_flat_chain_vs_oracle():
+    """Flat-resident chain (ops.fine): pack -> matmul -> add -> scale
+    -> truncate -> unpack vs the dense oracle."""
+    bf = 32
+    A, dA = random_fine(8 * bf, 8 * bf, bf, 0.3, seed=11)
+    D, dD = random_fine(8 * bf, 8 * bf, bf, 0.25, seed=12)
+    pc, oc, mbr, mcr = plan_spgemm_ex(A, A)
+    Af = hbsm.fine_pack(A)
+    Df = hbsm.fine_pack(D)
+    Cf, info = hbsm.fine_matmul(
+        Af, Af, pair_cap=pc, out_cap=oc, row_caps=(mbr, mcr), alpha=2.0
+    )
+    assert not bool(info.pair_overflow)
+    assert not bool(info.row_overflow)
+    Ef = hbsm.fine_add(Cf, Df, beta=-1.0)
+    Ef = hbsm.fine_scale(Ef, 0.5)
+    dE = 0.5 * (2.0 * (dA @ dA) - dD)
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(hbsm.fine_unpack(Ef))), dE,
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(hbsm.fine_frob_squared(Ef)), float((dE * dE).sum()),
+        rtol=1e-5,
+    )
+    # Truncation on flat payloads: matches canonical truncate.
+    Tf = hbsm.fine_truncate(Ef, 0.5, cap=Ef.cap)
+    Tc, _ = hbsm.truncate(hbsm.fine_unpack(Ef), 0.5, cap=Ef.cap)
+    np.testing.assert_array_equal(
+        np.asarray(Tf.ids), np.asarray(Tc.ids)
+    )
+    np.testing.assert_allclose(
+        np.asarray(hbsm.fine_unpack(Tf).data), np.asarray(Tc.data),
+        rtol=1e-6, atol=1e-7,
+    )
+
+
+def test_fine_flat_planned_matches_unplanned():
+    bf = 32
+    A, dA = random_fine(8 * bf, 8 * bf, bf, 0.3, seed=13)
+    pc, oc, mbr, mcr = plan_spgemm_ex(A, A)
+    plan = hbsm.make_fine_plan(A, A, pc, oc, (mbr, mcr))
+    assert not bool(plan.row_overflow)
+    Af = hbsm.fine_pack(A)
+    C0, _ = hbsm.fine_matmul(
+        Af, Af, pair_cap=pc, out_cap=oc, row_caps=(mbr, mcr)
+    )
+    C1, info = hbsm.fine_matmul(
+        Af, Af, pair_cap=pc, out_cap=oc, row_caps=(mbr, mcr), plan=plan
+    )
+    assert not bool(info.plan_mismatch)
+    np.testing.assert_array_equal(np.asarray(C0.ids), np.asarray(C1.ids))
+    np.testing.assert_array_equal(
+        np.asarray(C0.data), np.asarray(C1.data)
+    )
+    # Stale plan (different structure, same capacity) must be loud.
+    A2, _ = random_fine(8 * bf, 8 * bf, bf, 0.3, seed=14)
+    if A2.cap == A.cap:
+        Af2 = hbsm.fine_pack(A2)
+        _, info2 = hbsm.fine_matmul(
+            Af2, Af2, pair_cap=pc, out_cap=oc, row_caps=(mbr, mcr),
+            plan=plan,
+        )
+        assert bool(info2.plan_mismatch)
+
+
 def test_fine_supported_gates():
     assert supported(32, jnp.float32, 40, 400, 512)
     assert supported(16, jnp.float32, 40, 400, 512)
-    assert supported(64, jnp.float32, 40, 200, 512)
+    assert supported(64, jnp.float32, 40, 100, 512)
     assert not supported(48, jnp.float32, 40, 400, 512)  # 128 % 48 != 0
     assert not supported(128, jnp.float32, 40, 400, 512)  # rows kernel's job
     assert not supported(32, jnp.float64, 40, 400, 512)
