@@ -96,7 +96,13 @@ def bench_chained(build, data0, Ks, reps=3, max_widen=2):
         t_med[K] = times[len(times) // 2]
         jitter[K] = times[-1] - times[0]
 
-    k_lo, k_hi = Ks[0], Ks[-1]
+    # K=1 executables carry a different dispatch constant (~200 ms
+    # anomaly measured on the B2 fine chain, scripts/profile_fine32b.py
+    # — the round-4 (1,3)-span records were 3-8x optimistic); never
+    # anchor a differential at K=1.
+    k_lo, k_hi = max(Ks[0], 2), Ks[-1]
+    if k_hi <= k_lo:
+        k_hi = k_lo + 2
     for attempt in range(max_widen + 1):
         measure(k_lo)
         measure(k_hi)
@@ -471,7 +477,7 @@ def main():
         A2 = random_block_matrix(16384, 128, 0.05, seed=2)
         results["B2"] = bench_spgemm(A2, "B2-tile128 random(16384, 5%@128)",
                                      Ks=(5, 45), precision=args.precision)
-        dense_t, _ = bench_dense_equiv(16384, Ks=(1, 3),
+        dense_t, _ = bench_dense_equiv(16384, Ks=(2, 4),
                                        precision=args.precision)
         def _b2_leaf32():
             # B2 at its CONFIGURED granularity (BASELINE.json:8: random
@@ -502,11 +508,67 @@ def main():
             A32 = random_block_matrix(n, bf, 0.05, seed=2)
             fine_pairs, _ = plan_spgemm(A32, A32)
             f = 128 // bf
-            # (c) Direct path at the native leaf granularity.
+            # (c) Direct path at the native leaf granularity (the fine
+            # BD kernel via auto dispatch since round 5).
             res_d = bench_spgemm(
-                A32, "B2-leaf32 direct(b=32)", Ks=(1, 3),
+                A32, "B2-leaf32 direct(b=32)", Ks=(2, 8),
                 precision=args.precision,
             )
+            # (d) Flat-resident chain regime (ops.fine): transposed-
+            # flat payloads end-to-end, FinePlan-frozen structure —
+            # the fixed-structure fine-chain rate (pack/unpack at the
+            # chain boundary, amortized over the iteration sequence).
+            import jax as _jax
+
+            from hierarchical_block_sparse_lib_tpu.ops.spgemm import (
+                plan_spgemm_ex as _psx,
+            )
+
+            pcd, ocd, mbrd, mcrd = _psx(A32, A32)
+            A32f = hbsm.fine_pack(A32)
+            fplan = _jax.block_until_ready(
+                hbsm.make_fine_plan(A32, A32, pcd, ocd, (mbrd, mcrd))
+            )
+
+            def build_flat(d):
+                m = _dc.replace(A32f, data=d)
+                C, _ = hbsm.fine_matmul(
+                    m, m, pair_cap=pcd, out_cap=ocd,
+                    row_caps=(mbrd, mcrd), precision=args.precision,
+                    plan=fplan,
+                )
+                return C.data
+
+            dt_flat = bench_chained(build_flat, A32f.data, Ks=(2, 8),
+                                    reps=2)
+            honest_flat = 2 * bf**3 * fine_pairs / dt_flat / 1e9
+            log(
+                f"B2-leaf32 fine-flat planned (flat-resident chain): "
+                f"t={dt_flat*1e3:.2f} ms honest leaf-32 "
+                f"eff={honest_flat:.1f} GFLOP/s "
+                f"({fine_pairs/dt_flat:,.0f} leaf GEMMs/s)"
+            )
+            # Numerics: flat path vs the direct path (untimed).
+            Cd_chk, _ = hbsm.spgemm(
+                A32, A32, pair_cap=pcd, out_cap=ocd,
+                row_caps=(mbrd, mcrd), precision="highest",
+            )
+            Cf_chk, _ = hbsm.fine_matmul(
+                A32f, A32f, pair_cap=pcd, out_cap=ocd,
+                row_caps=(mbrd, mcrd), precision="highest", plan=fplan,
+            )
+            import jax.numpy as _jnp0
+
+            err_flat = float(
+                _jnp0.max(
+                    _jnp0.abs(
+                        hbsm.fine_unpack(Cf_chk).data - Cd_chk.data
+                    )
+                )
+                / max(1e-9, float(_jnp0.max(_jnp0.abs(Cd_chk.data))))
+            )
+            log(f"B2-leaf32 fine-flat vs direct rel err: {err_flat:.1e}")
+            assert err_flat < 1e-5, err_flat
             # (a) Naive path: coarsen to MXU tiles, enumerate tile
             # pairs.  The occupancy mask keeps the leaf counter honest
             # (cross-checked against the host fine plan inside
@@ -515,7 +577,7 @@ def main():
                 A32, f, cap=plan_coarsen(A32, f), track_leaves=True
             )
             res_n = bench_spgemm(
-                Ac, "B2-leaf32 naive(coarsen->128)", Ks=(1, 4),
+                Ac, "B2-leaf32 naive(coarsen->128)", Ks=(2, 6),
                 precision=args.precision, leaf=(bf, fine_pairs, occ),
             )
             # (b) Packed-contraction path: only useful fine-k slices
@@ -534,7 +596,7 @@ def main():
                 C, _ = kpack_spgemm(m, m, kplan, precision=args.precision)
                 return C.data
 
-            dtk = bench_chained(build_k, A32.data, Ks=(1, 4), reps=2)
+            dtk = bench_chained(build_k, A32.data, Ks=(2, 6), reps=2)
             honest_k = 2 * bf**3 * fine_pairs / dtk / 1e9
             naive_t = res_n["time_s"]
             honest_n = res_n["leaf_eff_gflops"]
@@ -593,6 +655,7 @@ def main():
             # plan is baked into its KPackPlan, one regime).
             cands = {
                 "direct_b32": min(res_d["time_s"], res_d["time_planned_s"]),
+                "fine_flat": dt_flat,
                 "kpack": dtk,
                 "coarsen": min(
                     naive_t, res_n.get("time_planned_s", naive_t)
@@ -612,6 +675,9 @@ def main():
                 direct_time_s=res_d["time_s"],
                 direct_planned_time_s=res_d["time_planned_s"],
                 direct_honest_gflops=res_d["eff_gflops"],
+                direct_backend=res_d.get("backend"),
+                fine_flat_time_s=dt_flat,
+                fine_flat_honest_gflops=honest_flat,
                 kpack_time_s=dtk,
                 kpack_honest_gflops=honest_k,
                 kpack_inflation=kplan.inflation,
@@ -701,7 +767,7 @@ def main():
             # Same-size dense anchor (BASELINE.json:10 "vs pure dense
             # GEMM"): slab-wise since the full square OOMs chained.
             dtd, _ = bench_dense_colslab(
-                32768, 8, Ks=(1, 3), precision=args.precision
+                32768, 8, Ks=(2, 4), precision=args.precision
             )
             if "B4full" not in results:
                 log("B4full missing (stage failed) — anchor recorded alone")
@@ -777,7 +843,7 @@ def main():
             lambda: results.__setitem__(
                 "B4full",
                 bench_colslab(
-                    32768, 0.5, n_slabs=8, Ks=(1, 3),
+                    32768, 0.5, n_slabs=8, Ks=(2, 4),
                     precision=args.precision,
                 ),
             ),
