@@ -156,6 +156,81 @@ def b4_near_dense():
     check("B4 column-slab tier (4 slabs)", rel_s / scale)
 
 
+def b2_leaf32_headline():
+    """The HEADLINE path (VERDICT r4 item 5): the configured B2 —
+    random 16384^2, 5% block density at LEAF 32 — through BOTH the
+    direct canonical spgemm (auto -> fine BD kernel) and the
+    flat-resident FinePlan path, vs an f64 dense oracle computed on
+    host (~2 GB dA + ~2 GB exact; the host dgemm takes a minute or
+    two — this is the one acceptance stage that is slow by design)."""
+    n, bf, dens = 16384, 32, 0.05
+    nb = n // bf
+    nblk = int(round(dens * nb * nb))
+    r = np.random.default_rng(2)
+    ids = np.sort(r.choice(nb * nb, nblk, replace=False)).astype(np.int32)
+    data = r.standard_normal((nblk, bf, bf)).astype(np.float32) * 0.1
+    A = hbsm.BlockMatrix(
+        ids=jnp.asarray(ids), data=jnp.asarray(data),
+        nnz=jnp.asarray(nblk, jnp.int32),
+        n_rows=n, n_cols=n, block_size=bf,
+    )
+    dA = np.asarray(hbsm.to_dense(A)).astype(np.float64)
+    exact = dA @ dA
+    scale = np.abs(exact).max()
+
+    pc, oc, mbr, mcr = plan_spgemm_ex(A, A)
+    C, info = hbsm.spgemm(
+        A, A, pair_cap=pc, out_cap=oc, row_caps=(mbr, mcr)
+    )
+    assert not bool(info.pair_overflow) and not bool(info.out_overflow)
+    assert not bool(info.row_overflow)
+    rel = np.abs(
+        np.asarray(hbsm.to_dense(C)).astype(np.float64) - exact
+    ).max()
+    check("B2 CONFIGURED 16384^2 leaf-32 direct (fine kernel)",
+          rel / scale)
+
+    fplan = hbsm.make_fine_plan(A, A, pc, oc, (mbr, mcr))
+    Af = hbsm.fine_pack(A)
+    Cf, inf2 = hbsm.fine_matmul(
+        Af, Af, pair_cap=pc, out_cap=oc, row_caps=(mbr, mcr), plan=fplan
+    )
+    assert not bool(inf2.plan_mismatch)
+    rel_f = np.abs(
+        np.asarray(hbsm.to_dense(hbsm.fine_unpack(Cf))).astype(np.float64)
+        - exact
+    ).max()
+    check("B2 CONFIGURED 16384^2 leaf-32 fine-flat (headline)",
+          rel_f / scale)
+
+
+def b1_leaf16_direct():
+    """B1 at its NATIVE leaf 16 through the fine kernel (no coarsening
+    — the reference's own granularity; VERDICT r4 item 5)."""
+    n, bw = 4096, 64
+    r, c, v = gen.banded_coo(n, bw, seed=0)
+    A = hbsm.from_coo(r, c, v, n, block_size=16)
+    pc, oc, mbr, mcr = plan_spgemm_ex(A, A)
+    from hierarchical_block_sparse_lib_tpu.ops.spgemm import (
+        resolve_backend,
+    )
+
+    backend = resolve_backend(
+        16, A.dtype, A.nb_cols, pc, row_caps=(mbr, mcr)
+    )
+    C, info = hbsm.spgemm(
+        A, A, pair_cap=pc, out_cap=oc, row_caps=(mbr, mcr)
+    )
+    assert not bool(info.pair_overflow) and not bool(info.out_overflow)
+    dA = gen.dense_oracle(r, c, v, n).astype(np.float64)
+    exact = dA @ dA
+    rel = np.abs(np.asarray(hbsm.to_dense(C)).astype(np.float64) - exact).max()
+    check(
+        f"B1 banded 4096^2 NATIVE leaf-16 (backend={backend})",
+        rel / np.abs(exact).max(),
+    )
+
+
 def precision_modes():
     n, bw = 1024, 48
     r, c, v = gen.banded_coo(n, bw, seed=0)
@@ -177,7 +252,9 @@ def precision_modes():
 if __name__ == "__main__":
     print(f"backend: {jax.default_backend()} {jax.devices()}")
     b1_banded()
+    b1_leaf16_direct()
     b2_chain()
+    b2_leaf32_headline()
     b3_purification()
     b4_near_dense()
     precision_modes()
