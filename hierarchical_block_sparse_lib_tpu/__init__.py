@@ -87,6 +87,7 @@ from hierarchical_block_sparse_lib_tpu.ops.band import (
     band_scale,
     band_to_blocks,
     band_to_dense,
+    band_probe,
     band_trace,
     band_transpose,
 )
@@ -165,6 +166,7 @@ __all__ = [
     "band_scale",
     "band_to_blocks",
     "band_to_dense",
+    "band_probe",
     "band_trace",
     "band_transpose",
     "LeafpackPlan",

@@ -41,6 +41,15 @@ class HierarchicalBlockSparseMatrix:
     def __init__(self, params: Params | None = None):
         self._params = params or Params()
         self._m: BlockMatrix | None = None
+        # Band residency (VERDICT r4 item 7): when the structure
+        # probes as a dense band, multiply/rescale keep a packed
+        # strip-panel form (`ops.band`) alive across calls so
+        # repeated multiplies on the reference-shaped surface run
+        # the band tier (the block form is materialized lazily on
+        # demand).  `_band_w` caches the probe result for _m
+        # (None = probed negative; -1 = not probed yet).
+        self._band = None
+        self._band_w: int | None = -1
         # The reference's instrumentation counters (SURVEY.md C12).
         self.no_of_block_multiplies = 0
         self.no_of_resizes = 0
@@ -63,43 +72,53 @@ class HierarchicalBlockSparseMatrix:
             cap=1,
             dtype=self._params.dtype,
         )
+        self._band = None
+        self._band_w = -1
         self.no_of_resizes += 1
 
     def clear(self) -> None:
         self._m = None
+        self._band = None
+        self._band_w = -1
 
     def empty(self) -> bool:
-        return self._m is None or int(self._m.nnz) == 0
+        if self._m is None and self._band is None:
+            return True
+        return int(self._mat().nnz) == 0
 
     def get_n_rows(self) -> int:
         self._require()
-        return self._m.n_rows
+        return self._mat().n_rows
 
     def get_n_cols(self) -> int:
         self._require()
-        return self._m.n_cols
+        return self._mat().n_cols
 
     def get_depth(self) -> int:
         """Depth of the implicit quadtree: ceil(log2(blocks per side))."""
         self._require()
-        nb = max(self._m.nb_rows, self._m.nb_cols)
+        m = self._mat()
+        nb = max(m.nb_rows, m.nb_cols)
         return max(int(nb - 1).bit_length(), 0)
 
     # -- assembly / extraction (reference C3) -----------------------------
     def assign_from_vectors(self, rows, cols, values) -> None:
         self._require()
+        n_rows, n_cols = self._mat().n_rows, self._mat().n_cols
+        self._band = None
+        self._band_w = -1
         self._m = hbsm.from_coo(
             np.asarray(rows),
             np.asarray(cols),
             np.asarray(values).astype(self._params.dtype),
-            self._m.n_rows,
-            self._m.n_cols,
+            n_rows,
+            n_cols,
             block_size=self._params.block_size,
         )
 
     def get_values(self, rows, cols) -> np.ndarray:
         self._require()
-        return np.asarray(hbsm.get_values(self._m, rows, cols))
+        return np.asarray(hbsm.get_values(self._mat(), rows, cols))
 
     def get_all_values(self):
         """(rows, cols, values) of all stored elements (explicit zeros in
@@ -107,7 +126,7 @@ class HierarchicalBlockSparseMatrix:
         Streams device->host in bounded windows so peak host memory is
         O(result + one chunk), not O(4 * cap * b^2)."""
         self._require()
-        chunks = list(hbsm.to_coo_chunks(self._m, drop_zeros=True))
+        chunks = list(hbsm.to_coo_chunks(self._mat(), drop_zeros=True))
         if not chunks:
             dt = np.dtype(self._params.dtype)
             return (
@@ -118,7 +137,7 @@ class HierarchicalBlockSparseMatrix:
 
     def to_dense(self) -> np.ndarray:
         self._require()
-        return np.asarray(hbsm.to_dense(self._m))
+        return np.asarray(hbsm.to_dense(self._mat()))
 
     # -- algebra (reference C5-C8) ----------------------------------------
 
@@ -166,10 +185,53 @@ class HierarchicalBlockSparseMatrix:
         symbolic plan (numeric phase only — see `_cached_plan`)."""
         a._require()
         b._require()
+        # Band fast path (VERDICT r4 item 7): when both operands probe
+        # as dense bands, multiply runs the strip-panel band tier
+        # (~3.7x the block path's honest B1 rate) and the RESULT stays
+        # band-resident — repeated multiplies on this surface never
+        # leave the tier; the block form materializes lazily on access
+        # (its storage counters then reflect the full band support,
+        # `ops.band.band_to_blocks` semantics).  Per-call packing is a
+        # single fused scatter (measured 29 ms at B1, one-time per
+        # object structure); the probe declines non-band structures.
+        if (
+            a._ensure_band()
+            and b._ensure_band()
+            and a._band.n == b._band.n
+        ):
+            from hierarchical_block_sparse_lib_tpu.ops import band as _bd
+
+            ab = _bd.band_transpose(a._band) if transpose_a else a._band
+            bb_ = _bd.band_transpose(b._band) if transpose_b else b._band
+            cb = _bd.band_mm(ab, bb_)
+            if not (isinstance(alpha, (int, float)) and alpha == 1.0):
+                cb = _bd.band_scale(cb, alpha)
+            c = HierarchicalBlockSparseMatrix(
+                Params(a._params.block_size, a._params.dtype)
+            )
+            c._band = cb
+            c._band_w = cb.w
+            bsz = a._params.block_size
+            nb = -(-cb.n // bsz)
+            wba = (ab.w + bsz - 1) // bsz
+            wbb = (bb_.w + bsz - 1) // bsz
+            k = np.arange(nb)
+            ca = np.minimum(nb - 1, k + wba) - np.maximum(0, k - wba) + 1
+            cb_cnt = (
+                np.minimum(nb - 1, k + wbb) - np.maximum(0, k - wbb) + 1
+            )
+            # The band tier's work unit is the full band support (it
+            # computes dense strips): the counter reports the
+            # structural band-support pair count (== the block path's
+            # count for full-fill bands; an upper bound otherwise).
+            c.no_of_block_multiplies = (
+                a.no_of_block_multiplies + int((ca * cb_cnt).sum())
+            )
+            return c
         am = (
-            hbsm.transpose(a._m) if transpose_a else a._m
+            hbsm.transpose(a._mat()) if transpose_a else a._mat()
         )
-        bm = hbsm.transpose(b._m) if transpose_b else b._m
+        bm = hbsm.transpose(b._mat()) if transpose_b else b._mat()
         plan, pc, oc, row_caps = HierarchicalBlockSparseMatrix._cached_plan(
             am, bm
         )
@@ -217,43 +279,60 @@ class HierarchicalBlockSparseMatrix:
 
     def rescale(self, alpha: float) -> None:
         self._require()
-        self._m = hbsm.scale(self._m, alpha)
+        if self._band is not None:
+            from hierarchical_block_sparse_lib_tpu.ops import band as _bd
+
+            self._band = _bd.band_scale(self._band, alpha)
+        if self._m is not None:
+            self._m = hbsm.scale(self._m, alpha)
 
     def get_transpose(self) -> "HierarchicalBlockSparseMatrix":
         self._require()
         t = HierarchicalBlockSparseMatrix(self._params)
-        t._m = hbsm.transpose(self._m)
+        t._m = hbsm.transpose(self._mat())
         return t
 
     # -- norms / counters (reference C9, C12) ------------------------------
     def get_frob_squared(self) -> float:
         self._require()
+        if self._m is None:
+            from hierarchical_block_sparse_lib_tpu.ops import band as _bd
+
+            return float(_bd.band_frob_squared(self._band))
         return float(hbsm.frob_squared(self._m))
 
     def get_trace(self) -> float:
         self._require()
+        if self._m is None:
+            from hierarchical_block_sparse_lib_tpu.ops import band as _bd
+
+            return float(_bd.band_trace(self._band))
         return float(hbsm.trace(self._m))
 
     def get_nnz(self) -> int:
         """Stored elements (nnz blocks * block area), the reference's
         storage counter."""
         self._require()
-        return int(self._m.nnz) * self._params.block_size**2
+        return int(self._mat().nnz) * self._params.block_size**2
 
     def get_nnz_blocks(self) -> int:
         self._require()
-        return int(self._m.nnz)
+        return int(self._mat().nnz)
 
     # -- truncation (reference C10) ----------------------------------------
     def frob_block_trunc(self, tau: float) -> None:
         """Drop blocks with Frobenius norm <= tau (in place)."""
         self._require()
-        self._m = hbsm.truncate(self._m, tau)
+        self._m = hbsm.truncate(self._mat(), tau)
+        self._band = None
+        self._band_w = -1
 
     # -- copy (reference C11) ----------------------------------------------
     def copy(self) -> "HierarchicalBlockSparseMatrix":
         c = HierarchicalBlockSparseMatrix(self._params)
         c._m = self._m  # immutable arrays: structural sharing IS deep copy
+        c._band = self._band
+        c._band_w = self._band_w
         c.no_of_block_multiplies = self.no_of_block_multiplies
         c.no_of_resizes = self.no_of_resizes
         return c
@@ -271,8 +350,35 @@ class HierarchicalBlockSparseMatrix:
         obj._m = m
         return obj
 
+    def _mat(self) -> BlockMatrix:
+        """The canonical block form, materializing from a band-resident
+        state if needed (band_to_blocks emits the full band support —
+        storage counters then reflect the band support, see
+        `multiply`)."""
+        if self._m is None and self._band is not None:
+            from hierarchical_block_sparse_lib_tpu.ops import band as _bd
+
+            self._m = _bd.band_to_blocks(
+                self._band, block_size=self._params.block_size
+            )
+        return self._m
+
+    def _ensure_band(self) -> bool:
+        """True iff this matrix is (or can become) band-resident: probe
+        once per structure (cached), pack once per data (cached)."""
+        from hierarchical_block_sparse_lib_tpu.ops import band as _bd
+
+        if self._band is not None:
+            return True
+        if self._band_w == -1:  # not probed yet
+            self._band_w = _bd.band_probe(self._mat())
+        if self._band_w is None:
+            return False
+        self._band = _bd.band_from_blocks(self._m, self._band_w)
+        return True
+
     def _require(self):
-        if self._m is None:
+        if self._m is None and self._band is None:
             raise RuntimeError("matrix is empty: call resize() first")
 
     def __repr__(self):  # pragma: no cover

@@ -111,6 +111,11 @@ def band_from_blocks(a: BlockMatrix, w: int) -> BandMatrix:
     wp = _wpad(w)
     W = STRIP + 2 * wp
     S = -(-n // STRIP)
+    if STRIP % bb == 0:
+        # No block straddles a strip: ONE vectorized jitted scatter
+        # (the host-loop path below measured 1.08 s eager at B1's 21k
+        # blocks — ~200 grouped scatter dispatches; this is ~one op).
+        return _band_from_blocks_v(a, n, bb, w, wp, W, S)
     ids = np.asarray(a.ids, np.int64)
     valid = ids != int(SENTINEL)
     brow = ids // a.nb_cols
@@ -149,6 +154,68 @@ def band_from_blocks(a: BlockMatrix, w: int) -> BandMatrix:
             ss, ro + r_lo : ro + r_hi, co + c_lo : co + c_hi
         ].add(sub)
     return BandMatrix(panels=panels, n=n, w=w)
+
+
+@partial(jax.jit, static_argnames=("n", "bb", "w", "wp", "W", "S"))
+def _band_from_blocks_v(a, n, bb, w, wp, W, S):
+    """Vectorized band pack for bb | 128: every block lives in exactly
+    one strip; out-of-window and SENTINEL-slot writes drop via the
+    scatter's OOB mode (entries outside |i-j| <= wp are zero by the
+    band precondition)."""
+    nbc = a.nb_cols
+    valid = a.valid_mask()
+    brow = jnp.where(valid, a.ids // nbc, jnp.int32(S * STRIP))
+    bcol = a.ids % jnp.int32(nbc)
+    r0 = brow * bb
+    ss = r0 // STRIP
+    co = bcol * bb - (ss * STRIP - wp)  # may be out of [0, W): dropped
+    rows = (r0[:, None] + jnp.arange(bb, dtype=jnp.int32)[None, :])
+    cols = (co[:, None] + jnp.arange(bb, dtype=jnp.int32)[None, :])
+    flat = (
+        jnp.zeros((S * STRIP, W), a.dtype)
+        .at[rows[:, :, None], cols[:, None, :]]
+        .add(a.data, mode="drop")
+    )
+    return BandMatrix(panels=flat.reshape(S, STRIP, W), n=n, w=w)
+
+
+def band_probe(a: BlockMatrix, min_fill: float = 0.5) -> int | None:
+    """Host-side structure probe (VERDICT r4 item 7): if `a` is a
+    dense-enough band, return the element bandwidth `w` to pack it
+    with (`band_from_blocks(a, w)`); else None.
+
+    Gates: square; block_size divides 128 (strip-aligned packing); the
+    band support fill is >= `min_fill` (the tier computes dense strips
+    — low fill wastes MXU work); the padded window stays well below
+    the matrix order (else the "band" is just dense).  Cost: one pass
+    over the id array on host."""
+    if a.n_rows != a.n_cols or STRIP % a.block_size != 0:
+        return None
+    ids = np.asarray(a.ids, np.int64)
+    ids = ids[ids != int(SENTINEL)]
+    if ids.size == 0:
+        return None
+    br, bc = ids // a.nb_cols, ids % a.nb_cols
+    wb = int(np.abs(br - bc).max())
+    bb = a.block_size
+    w = wb * bb + bb - 1
+    if 2 * _wpad(w) + STRIP >= a.n_rows:
+        return None  # window ~ the whole matrix: not a band
+    nb = a.nb_rows
+    band_blocks = nb * (2 * wb + 1) - wb * (wb + 1)
+    if ids.size < min_fill * band_blocks:
+        return None
+    return w
+
+
+def band_pair_count(nb: int, wb: int) -> int:
+    """Structural block-pair count of a full band of block-halfwidth
+    `wb` on an nb x nb block grid — the work the band tier performs
+    (it computes dense strips over the band support); reported as the
+    block-multiply counter for band-routed multiplies."""
+    k = np.arange(nb)
+    cnt = np.minimum(nb - 1, k + wb) - np.maximum(0, k - wb) + 1
+    return int((cnt * cnt).sum())
 
 
 def band_from_dense(d: jax.Array, w: int) -> BandMatrix:

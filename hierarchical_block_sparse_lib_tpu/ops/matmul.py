@@ -32,6 +32,18 @@ def matmul(
 
     Eager (plans on host per structure); inside jit/scan loops use
     `spgemm` with precomputed capacities instead.
+
+    Banded structures: this functional front door deliberately does
+    NOT auto-route through the dense-band tier — the pack/unpack
+    boundary conversions cost ~4 eager dispatches (measured 133 ms
+    total vs 27 ms for the block path at B1 on the axon backend,
+    `scripts/bench_band_route.py`), so per-call routing only pays when
+    the band form is HELD across calls.  Use `ops.band` directly
+    (pack once, `band_mm` per iteration: 29-37 us/iter at B1 = ~3.7x
+    the block path's honest rate), or the OO
+    `api.HierarchicalBlockSparseMatrix.multiply`, which probes the
+    structure (`band_probe`) and keeps results band-RESIDENT across
+    multiplies automatically.
     """
     from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_groups import (
         plan_groups,

@@ -140,3 +140,64 @@ def test_band_mm_matches_block_path():
         rtol=2e-5,
         atol=2e-4,
     )
+
+
+def test_band_probe_and_api_residency():
+    """VERDICT r4 item 7: the band probe routes banded structures and
+    declines others; the OO multiply keeps band residency and matches
+    the block path numerically."""
+    import numpy as np
+    import hierarchical_block_sparse_lib_tpu as hbsm
+    from hierarchical_block_sparse_lib_tpu.api import (
+        HierarchicalBlockSparseMatrix,
+    )
+    from hierarchical_block_sparse_lib_tpu.core.block_matrix import Params
+    from hierarchical_block_sparse_lib_tpu.utils import generators as gen
+
+    n, bw = 512, 48
+    r, c, v = gen.banded_coo(n, bw, seed=0)
+    A = hbsm.from_coo(r, c, v, n, block_size=16)
+    w = hbsm.band_probe(A)
+    assert w is not None and w >= bw
+
+    # Random 10% structure: declined.
+    rng = np.random.default_rng(0)
+    nb = n // 16
+    ids = np.sort(rng.choice(nb * nb, nb * nb // 10, replace=False))
+    rr = (ids // nb) * 16
+    cc = (ids % nb) * 16
+    R = hbsm.from_coo(rr, cc, np.ones_like(rr, np.float32), n,
+                      block_size=16)
+    assert hbsm.band_probe(R) is None
+
+    # OO surface: banded multiply stays band-resident.
+    a = HierarchicalBlockSparseMatrix(Params(16))
+    a.resize(n)
+    a.assign_from_vectors(r, c, v)
+    prod = HierarchicalBlockSparseMatrix.multiply(a, False, a, False)
+    assert prod._band is not None and prod._m is None
+    dA = gen.dense_oracle(r, c, v, n).astype(np.float64)
+    np.testing.assert_allclose(
+        prod.to_dense().astype(np.float64), dA @ dA, rtol=1e-4,
+        atol=1e-4,
+    )
+    assert prod.no_of_block_multiplies > 0
+    # Band-side reductions without materialization.
+    prod2 = HierarchicalBlockSparseMatrix.multiply(a, False, a, False)
+    got = prod2.get_frob_squared()
+    assert prod2._m is None  # frob ran band-side
+    ref = float(((dA @ dA) ** 2).sum())
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
+    prod2.rescale(2.0)
+    assert prod2._m is None
+    np.testing.assert_allclose(
+        prod2.to_dense().astype(np.float64), 2.0 * (dA @ dA), rtol=1e-4,
+        atol=1e-4,
+    )
+    # Chained multiply: operands already band-resident, result too.
+    sq = HierarchicalBlockSparseMatrix.multiply(prod, False, prod, False)
+    assert sq._band is not None and sq._m is None
+    np.testing.assert_allclose(
+        sq.to_dense().astype(np.float64), (dA @ dA) @ (dA @ dA),
+        rtol=1e-4, atol=1e-2,
+    )
