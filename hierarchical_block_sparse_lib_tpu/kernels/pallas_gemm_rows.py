@@ -101,7 +101,7 @@ def supported(b: int, dtype, b_row_max: int, c_row_max: int, nbc: int) -> bool:
 
 def _make_kernel(
     b, b_row_max, c_row_max, nbc, precision, n_rows_grid, out_cap,
-    acc_p, panel_p, filtered, triu, wide, cap_b, g8,
+    acc_p, panel_p, filtered, triu, wide, cap_b, g8, with_acc=False,
 ):
     # Continuous cross-row fetch pipeline ("flow"): fetch_e/wait_e depend
     # only on the global A-block index e (a_col[e] picks the B panel), so
@@ -154,6 +154,12 @@ def _make_kernel(
             # SpAMM filter operands: per-block squared norms + tau^2.
             an2_ref, bn2_ref, tau2_ref = rest[:3]
             rest = rest[3:]
+        if with_acc:
+            # Aligned accumulator input: same slot order as out_ids —
+            # rows load their previous-union values instead of zeroing
+            # (the in-kernel beta-accumulate, VERDICT r4 item 4).
+            acc_hbm = rest[2]
+            rest = rest[:2] + rest[3:]
         (
             a_hbm,  # ANY [capA, b, b]
             b_hbm,  # ANY [capB, b, b]
@@ -176,6 +182,7 @@ def _make_kernel(
             state[0] = 0
             state[1] = 0
             state[2] = 0
+            state[3] = 0  # with_acc: next-row load prefetched flag
 
         a_lo = a_row_start_ref[i]
         a_cnt = a_row_start_ref[i + 1] - a_lo
@@ -276,22 +283,55 @@ def _make_kernel(
         has_work = c_cnt > 0
         fpar = jax.lax.rem(state[0], acc_p)
 
+        if with_acc:
+            def acc_load(par, lo, cnt, do_start):
+                for ci, fs in enumerate(flush_sizes):
+                    @pl.when((cnt & fs) != 0)
+                    def _(ci=ci, fs=fs):
+                        off = cnt & ~(2 * fs - 1)
+                        dma = pltpu.make_async_copy(
+                            acc_hbm.at[pl.ds(lo + off, fs)],
+                            acc.at[par, pl.ds(off, fs)],
+                            f_sems.at[par, ci],
+                        )
+                        if do_start:
+                            dma.start()
+                        else:
+                            dma.wait()
+
         def prep_acc():
             # This parity's previous flush must drain before its
-            # accumulator is zeroed for reuse.
+            # accumulator is zeroed/loaded for reuse.
             @pl.when(state[1 + fpar] > 0)
             def _():
                 flush_op(fpar, 0, state[1 + fpar], False)
                 state[1 + fpar] = 0
 
-            # Build the column->slot table and zero the used accumulator
-            # slots (never-flushed tail slots are never read).
+            # Build the column->slot table, and zero the used
+            # accumulator slots (never-flushed tail slots are never
+            # read) — or, with an aligned accumulator input, LOAD the
+            # row's previous-union values instead (products then
+            # accumulate on top: the fused in-kernel beta-accumulate).
             def init_slot(s, _):
                 postable[ccol_ref[c_lo + s]] = s
-                acc[fpar, s] = jnp.zeros((b, b), jnp.float32)
+                if not with_acc:
+                    acc[fpar, s] = jnp.zeros((b, b), jnp.float32)
                 return 0
 
             jax.lax.fori_loop(0, c_cnt, init_slot, 0)
+            if with_acc:
+                # Wait for the prefetched load (issued by the previous
+                # row — overlapping its flush and this row's panel
+                # fetches; a start+wait HERE exposed the full load
+                # latency per row and measured WORSE than the XLA
+                # gather-add it replaces), or cold-load on the first
+                # row / after a workless gap.
+                @pl.when(state[3] == 0)
+                def _():
+                    acc_load(fpar, c_lo, c_cnt, True)
+
+                acc_load(fpar, c_lo, c_cnt, False)
+                state[3] = 0
 
         def compute_e(par, e):
             blo, bcnt = _panel_range(e)
@@ -431,6 +471,30 @@ def _make_kernel(
                 jax.lax.fori_loop(0, a_cnt, eloop, 0)
                 run_flush()
 
+        if with_acc:
+            # Prefetch the NEXT row's accumulator load so it overlaps
+            # this row's flush and the next row's panel fetches.
+            @pl.when(i + 1 < n_rows_grid)
+            def _():
+                nc_lo = c_row_start_ref[i + 1]
+                nc_cnt = jnp.minimum(
+                    c_row_start_ref[i + 2] - nc_lo, c_row_max
+                )
+
+                @pl.when((nc_cnt > 0) & (state[3] == 0))
+                def _():
+                    # The parity the next workful row will use (state[0]
+                    # already advanced if this row flushed).
+                    p_next = jax.lax.rem(state[0], acc_p)
+
+                    @pl.when(state[1 + p_next] > 0)
+                    def _():
+                        flush_op(p_next, 0, state[1 + p_next], False)
+                        state[1 + p_next] = 0
+
+                    acc_load(p_next, nc_lo, nc_cnt, True)
+                    state[3] = 1
+
         @pl.when(i == n_rows_grid - 1)
         def _():
             for par in range(acc_p):
@@ -501,6 +565,7 @@ def rows_spgemm(
     tau2: jax.Array | None = None,  # f32[] squared threshold
     triu: bool = False,  # syrk mode: compute only outputs with col >= row
     wide: bool | None = None,  # panel-wide dots (needs no filter/triu)
+    acc_data: jax.Array | None = None,  # f32[out_cap,b,b] ALIGNED accum
 ) -> jax.Array:
     """f32[out_cap, b, b]: block products accumulated into the slots given
     by `out_ids` (which must be exactly the distinct products' ids, row-
@@ -587,9 +652,13 @@ def rows_spgemm(
         b_data = jnp.concatenate(
             [b_data, jnp.zeros((g8,) + b_data.shape[1:], b_data.dtype)]
         )
+    with_acc = acc_data is not None
+    if with_acc and acc_data.shape != (out_cap, b, b):
+        raise ValueError(f"acc_data must be [{out_cap},{b},{b}]")
     kernel = _make_kernel(
         b, b_row_max, c_row_max, nbc, precision, nbr, out_cap, acc_p,
         panel_p, filtered, triu, wide, b_data.shape[0], g8,
+        with_acc=with_acc,
     )
     vma = getattr(jax.typeof(a_data), "vma", frozenset())
     _rb_max = -(-min(b_row_max, b_data.shape[0]) // g8) * g8
@@ -600,10 +669,9 @@ def rows_spgemm(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6 + (3 if filtered else 0),
         grid=(nbr,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (
+            3 if with_acc else 2
+        ),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((panel_p, b, b), a_data.dtype),
@@ -624,11 +692,14 @@ def rows_spgemm(
             b_norms2.astype(jnp.float32),
             jnp.asarray(tau2, jnp.float32).reshape(1),
         ]
+    tensor_args = [a_data, b_data]
+    if with_acc:
+        tensor_args.append(acc_data.astype(jnp.float32))
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((out_cap, b, b), jnp.float32, vma=vma),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(*scalar_args, a_data, b_data)
+    )(*scalar_args, *tensor_args)
     return out

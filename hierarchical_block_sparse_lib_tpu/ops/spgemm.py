@@ -305,6 +305,10 @@ _PRECISION = {
 }
 
 
+def alpha_is_one_static(alpha) -> bool:
+    return isinstance(alpha, (int, float)) and float(alpha) == 1.0
+
+
 def resolve_backend(
     block_size,
     dtype,
@@ -442,6 +446,7 @@ def _xla_numeric_accumulate(
         "row_caps",
         "group_caps",
         "syrk_upper",
+        "accum_aligned",
     ),
 )
 def spgemm(
@@ -465,6 +470,7 @@ def spgemm(
     accum: BlockMatrix | None = None,
     beta: float | jax.Array = 1.0,
     plan: SymbolicPlan | None = None,
+    accum_aligned: bool = False,
 ):
     """C = alpha * op(A) @ op(B) [+ beta * accum]; returns (C, MultiplyInfo).
 
@@ -627,7 +633,52 @@ def spgemm(
             raise ValueError("accum shape mismatch")
         if accum.block_size != a.block_size:
             raise ValueError("accum block_size mismatch")
-        if plan is not None and plan.out_ids is not None:
+        if accum_aligned:
+            # ALIGNED accumulate (VERDICT r4 item 4): the output
+            # structure IS the accumulator's (product support must be a
+            # subset — the frozen-routed final-union regime,
+            # route.freeze_route_plan).  The row-panel kernel then
+            # initializes its VMEM row accumulators FROM accum instead
+            # of zeroing, and the post-kernel union gather-add (the
+            # 0.46-0.9 ms routed-stage overhead) disappears.
+            if accum.cap != out_cap:
+                raise ValueError(
+                    f"accum_aligned needs accum.cap == out_cap "
+                    f"({accum.cap} != {out_cap})"
+                )
+            out_ids_pre = accum.ids
+            seg = None
+            pos_acc = None
+            n_unique = accum.nnz
+            # Membership self-check (never silent): every product block
+            # must land in an accumulator slot.  With a plan built for
+            # this alignment (make_plan(accum_ids=...)) the check is
+            # two id compares; the planless fallback pays a
+            # searchsorted (a full sort per call — measured ~1 ms at
+            # B2 union size, do not take this path in hot loops).
+            if plan is not None and plan.acc_ids is not None:
+                if accum.ids.shape != plan.acc_ids.shape:
+                    plan_mismatch = plan_mismatch | jnp.ones((), bool)
+                else:
+                    plan_mismatch = plan_mismatch | jnp.any(
+                        accum.ids != plan.acc_ids
+                    )
+            else:
+                pos = jnp.searchsorted(
+                    accum.ids, c_id, side="left", method="sort"
+                )
+                pos_c = jnp.clip(pos, 0, out_cap - 1)
+                plan_mismatch = plan_mismatch | jnp.any(
+                    jnp.where(
+                        c_id != SENTINEL, accum.ids[pos_c] != c_id, False
+                    )
+                )
+                # Sorted-unique invariant of the alignment target.
+                plan_mismatch = plan_mismatch | jnp.any(
+                    (accum.ids[1:] == accum.ids[:-1])
+                    & accum.valid_mask()[1:]
+                )
+        elif plan is not None and plan.out_ids is not None:
             # Precomputed union structure (make_plan(accum_ids=...)):
             # valid only for an accumulator with the planned ids — also
             # self-checked into plan_mismatch.
@@ -664,6 +715,16 @@ def spgemm(
             row_caps=row_caps, group_caps=group_caps,
             filter_by_norm=filter_by_norm, syrk_upper=syrk_upper,
         )
+    if accum_aligned:
+        if accum is None:
+            raise ValueError("accum_aligned requires accum")
+        if backend != "rows":
+            raise ValueError(
+                "accum_aligned requires the rows backend (got "
+                f"{backend!r}); supply row_caps that fit"
+            )
+        if not alpha_is_one_static(alpha):
+            raise ValueError("accum_aligned supports alpha == 1 only")
     acc_dtype = jnp.promote_types(a.dtype, jnp.float32)
     if backend == "groups":
         from hierarchical_block_sparse_lib_tpu.kernels.pallas_gemm_groups import (
@@ -707,6 +768,16 @@ def spgemm(
             )
         else:
             fkw = {}
+        if accum_aligned:
+            accd = accum.data
+            if not (isinstance(beta, (int, float)) and float(beta) == 1.0):
+                # Non-literal-1 beta: pre-scale the accumulator (one
+                # fused pass) — the kernel itself accumulates at beta=1.
+                accd = (
+                    accd.astype(acc_dtype)
+                    * jnp.asarray(beta, acc_dtype)
+                ).astype(jnp.float32)
+            fkw["acc_data"] = accd
         out_data = rows_spgemm(
             a.ids, a.data, b.ids, b.data, out_ids_pre,
             a.nb_rows, b.nb_rows, b.nb_cols, out_cap,
@@ -820,7 +891,7 @@ def spgemm(
         )
     else:
         row_overflow = jnp.zeros((), bool)
-    alpha_is_one = isinstance(alpha, (int, float)) and float(alpha) == 1.0
+    alpha_is_one = alpha_is_one_static(alpha)
     exact_fill = backend in ("rows", "groups", "fine")
     if exact_fill and alpha_is_one and a.dtype == out_data.dtype:
         # The row-panel kernel writes every used slot exactly and
@@ -849,7 +920,7 @@ def spgemm(
             out_data * jnp.asarray(alpha, acc_dtype),
             0,
         ).astype(a.dtype)
-    if accum is not None:
+    if accum is not None and not accum_aligned:
         # Fused beta-accumulate.  Formulated as a GATHER-add, not a
         # scatter-add: invert pos_acc with a tiny int32 scatter, `take`
         # accum's block per union slot (absent -> zero fill), and add —

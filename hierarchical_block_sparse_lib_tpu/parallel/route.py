@@ -270,10 +270,17 @@ class FrozenRoutePlan:
     # Per kept stage: a SymbolicPlan whose every array leaf carries a
     # leading [P] device axis (sharded over the mesh axis at use).
     stage_plans: tuple
+    # ALIGNED regime (VERDICT r4 item 4): every stage's out_ids is the
+    # FINAL per-device union, so the row-panel kernel accumulates
+    # in-kernel (acc rows loaded from the running C instead of zeroed)
+    # and the per-stage union gather-add disappears.  Requires >= 2
+    # kept stages and the rows kernel to fit (freeze_route_plan gates).
+    aligned: bool = False
 
 
 def freeze_route_plan(
-    a: BlockMatrix, b: BlockMatrix, plan: RoutePlan
+    a: BlockMatrix, b: BlockMatrix, plan: RoutePlan,
+    aligned: bool | None = None,
 ) -> FrozenRoutePlan:
     """Freeze the per-stage symbolic structure of a routed SpGEMM.
 
@@ -329,29 +336,66 @@ def freeze_route_plan(
 
     a_ids_all = jnp.asarray(a_ids)
     stage_plans = []
+    pan_alls = []
     # Running per-device union structure (the accumulator each stage
     # sees), starting from the empty accumulator of `_routed_stages`.
     u_all = jnp.full((n_dev, out_cap), SENTINEL, jnp.int32)
     for k, t in enumerate(plan.stages):
-        pan_all = np.stack(
-            [
-                np.where(
-                    plan.send_idx[k][(d + t) % n_dev] >= 0,
-                    b_ids[(d + t) % n_dev][
-                        np.maximum(plan.send_idx[k][(d + t) % n_dev], 0)
-                    ],
-                    sent,
-                ).astype(np.int32)
-                for d in range(n_dev)
-            ]
+        pan_all = jnp.asarray(
+            np.stack(
+                [
+                    np.where(
+                        plan.send_idx[k][(d + t) % n_dev] >= 0,
+                        b_ids[(d + t) % n_dev][
+                            np.maximum(
+                                plan.send_idx[k][(d + t) % n_dev], 0
+                            )
+                        ],
+                        sent,
+                    ).astype(np.int32)
+                    for d in range(n_dev)
+                ]
+            )
         )
+        pan_alls.append(pan_all)
         sp = _stage_batched(
-            a_ids_all, jnp.asarray(pan_all), u_all,
-            plan.stage_pair_caps[k],
+            a_ids_all, pan_all, u_all, plan.stage_pair_caps[k]
         )
         u_all = sp.out_ids
         stage_plans.append(sp)
-    return FrozenRoutePlan(route=plan, stage_plans=tuple(stage_plans))
+
+    # ALIGNED regime (VERDICT r4 item 4): replan every stage against
+    # the FINAL per-device union (u_all after the last stage), so all
+    # stages share one out_ids and the routed chain accumulates
+    # in-kernel.  Gated to >= 2 kept stages (single-stage plans never
+    # accumulate) and rows-kernel support at the union row caps.
+    if aligned is None:
+        from hierarchical_block_sparse_lib_tpu.kernels import (
+            pallas_gemm_rows,
+        )
+
+        max_b_row = max(
+            (rc[0] for rc in plan.stage_row_caps), default=1
+        )
+        aligned = (
+            len(plan.stages) >= 2
+            and bool(plan.stage_row_caps)
+            and pallas_gemm_rows.supported(
+                a.block_size, a.dtype, max_b_row,
+                plan.union_c_row_max, b.nb_cols,
+            )
+        )
+    if aligned:
+        final = u_all
+        stage_plans = [
+            _stage_batched(
+                a_ids_all, pan_alls[k], final, plan.stage_pair_caps[k]
+            )
+            for k in range(len(plan.stages))
+        ]
+    return FrozenRoutePlan(
+        route=plan, stage_plans=tuple(stage_plans), aligned=aligned
+    )
 
 
 def _routed_stages(
@@ -365,12 +409,17 @@ def _routed_stages(
     axis: str,
     n_dev: int,
     stage_plans=None,
+    aligned=False,
 ):
     """Shared inner stage loop (inside shard_map): software-pipelined
     routed panel exchange + per-stage local SpGEMM + union accumulate.
-    Returns per-device (C accumulator, pair count, overflow flag,
-    stage-plan mismatch flag — always False unless `stage_plans` from a
-    FrozenRoutePlan are supplied and stale)."""
+    With `aligned` (FrozenRoutePlan.aligned), every stage's output
+    structure is the final union and the accumulate happens INSIDE the
+    row-panel kernel (acc rows loaded instead of zeroed) — no
+    per-stage gather-add.  Returns per-device (C accumulator, pair
+    count, overflow flag, stage-plan mismatch flag — always False
+    unless `stage_plans` from a FrozenRoutePlan are supplied and
+    stale)."""
     stages = list(plan.stages)
     n_stages = len(stages)
 
@@ -393,12 +442,31 @@ def _routed_stages(
             jax.lax.ppermute(data_s, axis, perm),
         )
 
-    c = assembly.empty(
-        a_loc.n_rows, b_loc.n_cols, a_loc.block_size, out_cap,
-        dtype=a_loc.dtype,
-    )
     _vary = lambda v: jax.lax.pcast(v, (axis,), to="varying")  # noqa: E731
-    c = jax.tree.map(_vary, c)
+    if aligned and stage_plans is not None:
+        # Start from the final-union structure with zero data: every
+        # stage (including the first) accumulates in-kernel on top.
+        u_ids = jax.tree.map(lambda v: v[0], stage_plans[0]).out_ids
+        c = BlockMatrix(
+            ids=u_ids,
+            data=_vary(
+                jnp.zeros(
+                    (out_cap, a_loc.block_size, a_loc.block_size),
+                    a_loc.dtype,
+                )
+            ),
+            nnz=jnp.sum(u_ids != SENTINEL).astype(jnp.int32),
+            n_rows=a_loc.n_rows,
+            n_cols=b_loc.n_cols,
+            block_size=a_loc.block_size,
+        )
+    else:
+        aligned = False
+        c = assembly.empty(
+            a_loc.n_rows, b_loc.n_cols, a_loc.block_size, out_cap,
+            dtype=a_loc.dtype,
+        )
+        c = jax.tree.map(_vary, c)
     pairs = _vary(jnp.zeros((), jnp.int32))
     ovf = _vary(jnp.zeros((), bool))
     mism = _vary(jnp.zeros((), bool))
@@ -443,10 +511,10 @@ def _routed_stages(
                 if plan.stage_row_caps
                 else None
             ),
-            backend=backend,
+            backend="rows" if aligned else backend,
             precision=precision,
-            accum=None if k == 0 else c,
-            beta=1.0,
+            accum=c if aligned else (None if k == 0 else c),
+            accum_aligned=aligned,
             plan=(
                 None
                 if stage_plans is None
@@ -510,6 +578,7 @@ def dist_spgemm_routed(
         c, pairs, ovf, mism = _routed_stages(
             a_loc, b_loc, send_l, plan, out_cap, backend, precision,
             axis, n_dev, stage_plans=stage_plans,
+            aligned=frozen is not None and frozen.aligned,
         )
         c = basic.scale(c, jnp.asarray(alpha, c.dtype))
         total = jax.lax.psum(pairs, axis)
@@ -640,6 +709,7 @@ def dist_sp2_step_routed(
         x2, pairs, ovf, smism = _routed_stages(
             x_loc, x_loc, send_l, plan, out_cap, backend, precision,
             axis, n_dev, stage_plans=stage_plans,
+            aligned=frozen is not None and frozen.aligned,
         )
         mism = mism | smism
         # X_next = (2s-1)*X^2 + (2-2s)*X, s = [trace > target] — the same

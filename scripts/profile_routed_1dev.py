@@ -110,9 +110,86 @@ if __name__ == "__main__":
 
     res["routed"] = bench.bench_chained(b_routed, Ad.data, Ks=(5, 45))
 
+    # --- later-stage accumulate A/B (VERDICT r4 item 4): the generic
+    # union gather-add vs the round-5 in-kernel ALIGNED accumulate.  A
+    # 1-device mesh keeps only one stage, so the >= 2-kept-stage
+    # regime is reproduced here as its local equivalent: a planned
+    # multiply accumulating into a NON-EMPTY union-structured C (what
+    # every later routed stage runs).
+    C0, _ = spgemm(A, A, pair_cap=pc, out_cap=oc, row_caps=(mbr, mcr),
+                   precision=PRECISION, plan=plan_l)
+    rngd = np.random.default_rng(7)
+    D = dataclasses.replace(
+        C0,
+        data=jnp.where(
+            C0.valid_mask()[:, None, None],
+            jnp.asarray(
+                rngd.standard_normal(
+                    (oc, A.block_size, A.block_size)
+                ).astype(np.float32)
+            ),
+            0.0,
+        ),
+    )
+    plan_u = jax.block_until_ready(
+        make_plan(A, A, pc, accum_ids=D.ids, out_cap=oc)
+    )
+
+    # Chain over the ACCUMULATOR data; A's payload is sliced from the
+    # same chained buffer (same shapes/FLOPs — a big closure constant
+    # either exceeds the remote-compile body limit or crashes the TPU
+    # compiler's constant-folding scatter emitter).
+    capA = A.cap
+
+    # NOTE: a chained NON-EMPTY generic gather-add arm reproducibly
+    # crashes the XLA:TPU compiler here ("scatter_emitter.cc:2824
+    # Check failed: operand_indices.size() == 1 (2 vs. 1)" — a fused
+    # variadic scatter the emitter can't handle), with or without
+    # closure constants.  The gather-add's COST is value-independent,
+    # so the already-measured local+accum row (empty accumulator, same
+    # union capacity, same gather+add program) stands in for the
+    # later-stage gather-add term.
+    def b_acc_aligned(dacc):
+        m = dataclasses.replace(A, data=dacc[:capA])
+        Dm = dataclasses.replace(D, data=dacc)
+        # plan_u carries acc_ids: the aligned membership check is two
+        # id compares (the planless path pays a per-call searchsorted).
+        C, _ = spgemm(m, m, pair_cap=pc, out_cap=oc,
+                      row_caps=(mbr, mcr), precision=PRECISION,
+                      plan=plan_u, accum=Dm, accum_aligned=True)
+        return C.data
+
+    res["stage+aligned"] = bench.bench_chained(
+        b_acc_aligned, D.data, Ks=(5, 45)
+    )
+
+    # Control: the PLAIN local multiply under the same chain structure
+    # (carry = union-sized buffer, A sliced from it) — isolates the
+    # chain-plumbing overhead from the aligned kernel's own cost.
+    def b_local_chainD(dacc):
+        m = dataclasses.replace(A, data=dacc[:capA])
+        C, _ = spgemm(m, m, pair_cap=pc, out_cap=oc,
+                      row_caps=(mbr, mcr), precision=PRECISION,
+                      plan=plan_l)
+        return C.data
+
+    res["local(chainD)"] = bench.bench_chained(
+        b_local_chainD, D.data, Ks=(5, 45)
+    )
+
     base = res["local"]
     for k, v in res.items():
         print(f"{k:12s}: {v*1e3:7.3f} ms  ({v/base:.2f}x local)")
+    print(
+        f"LATER-STAGE accumulate: gather-add adds "
+        f"{1e3*(res['local+accum']-base):.3f} ms over local "
+        f"(empty-acc stand-in, value-independent); in-kernel aligned "
+        f"adds {1e3*(res['stage+aligned']-res['local(chainD)']):.3f} ms "
+        f"over ITS chain baseline (local(chainD) corrects for the "
+        f"union-sized carry + slice plumbing of this measurement "
+        f"harness, which alone adds "
+        f"{1e3*(res['local(chainD)']-base):.3f} ms)"
+    )
     # Since the round-4 fix, stage 0 of the routed chain skips the
     # accumulate (accum=None on the first kept stage), so on a 1-device
     # mesh "routed" should sit near local+pack+shard_map — the

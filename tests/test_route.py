@@ -316,3 +316,36 @@ def test_frozen_routed_sp2_step(mesh8):
     assert int(s1["n_block_pairs"]) == int(s0["n_block_pairs"])
     np.testing.assert_array_equal(np.asarray(Y1.ids), np.asarray(Y0.ids))
     np.testing.assert_array_equal(np.asarray(Y1.data), np.asarray(Y0.data))
+
+
+def test_frozen_aligned_route_plan(mesh8):
+    """The ALIGNED frozen regime (VERDICT r4 item 4): every stage's
+    out_ids is the final union and the accumulate happens inside the
+    rows kernel; the result must match the unfrozen routed run (same
+    support; values to f32 accumulation-order tolerance)."""
+    n, b = 512, 16
+    d, A = _b5_style_matrix(n, b, seed=17, extra_random=10)
+    Ad = dist.distribute(A, mesh8)
+    plan = route.plan_route(Ad, Ad, 8)
+    assert len(plan.stages) >= 2
+    frozen = route.freeze_route_plan(Ad, Ad, plan, aligned=True)
+    assert frozen.aligned
+    C0, s0 = route.dist_spgemm_routed(Ad, Ad, mesh8, plan, backend="xla")
+    C1, s1 = route.dist_spgemm_routed(Ad, Ad, mesh8, frozen)
+    assert not bool(s1["overflow"])
+    assert not bool(s1["plan_mismatch"])
+    assert int(s1["n_block_pairs"]) == int(s0["n_block_pairs"])
+    # Aligned C carries the final-union structure on every device; the
+    # unfrozen C carries per-device product unions — same VALID ids.
+    ids0 = np.asarray(C0.ids)
+    ids1 = np.asarray(C1.ids)
+    dat0 = np.asarray(C0.data)
+    dat1 = np.asarray(C1.data)
+    SENT = np.iinfo(np.int32).max
+    for dev in range(ids0.shape[0]):
+        v0 = ids0[dev] != SENT
+        v1 = ids1[dev] != SENT
+        np.testing.assert_array_equal(ids0[dev][v0], ids1[dev][v1])
+        np.testing.assert_allclose(
+            dat0[dev][v0], dat1[dev][v1], rtol=2e-4, atol=1e-5
+        )

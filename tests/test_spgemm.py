@@ -333,3 +333,75 @@ def test_planned_union_with_gemm_cap():
             beta=0.5,
         )
         assert bool(i2.plan_mismatch)
+
+
+def test_accum_aligned_matches_generic():
+    """In-kernel ALIGNED beta-accumulate (VERDICT r4 item 4): the rows
+    kernel loads the accumulator's rows instead of zeroing; result
+    must equal the generic gather-add accumulate, and a product block
+    outside the accumulator support must be loud."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    import hierarchical_block_sparse_lib_tpu as hbsm
+    from hierarchical_block_sparse_lib_tpu.ops.spgemm import (
+        plan_spgemm_ex,
+        spgemm,
+    )
+
+    rng = np.random.default_rng(5)
+    n, b = 8 * 128, 128
+    nb = n // b
+    nblk = nb * nb // 3
+    ids = np.sort(rng.choice(nb * nb, nblk, replace=False)).astype(np.int32)
+    A = hbsm.BlockMatrix(
+        ids=jnp.asarray(ids),
+        data=jnp.asarray(
+            rng.standard_normal((nblk, b, b)).astype(np.float32)
+        ),
+        nnz=jnp.asarray(nblk, jnp.int32),
+        n_rows=n, n_cols=n, block_size=b,
+    )
+    pc, oc, mbr, mcr = plan_spgemm_ex(A, A)
+    C0, _ = spgemm(A, A, pair_cap=pc, out_cap=oc, backend="xla")
+    # Accumulator with EXACTLY the product support (the aligned regime).
+    D = dataclasses.replace(
+        C0,
+        data=jnp.where(
+            C0.valid_mask()[:, None, None],
+            jnp.asarray(
+                rng.standard_normal((oc, b, b)).astype(np.float32)
+            ),
+            0.0,
+        ),
+    )
+    generic, gi = spgemm(
+        A, A, pair_cap=pc, out_cap=oc, row_caps=(mbr, mcr),
+        backend="rows", accum=D, beta=1.0,
+    )
+    aligned, ai = spgemm(
+        A, A, pair_cap=pc, out_cap=oc, row_caps=(mbr, mcr),
+        backend="rows", accum=D, beta=1.0, accum_aligned=True,
+    )
+    assert not bool(ai.plan_mismatch)
+    np.testing.assert_array_equal(
+        np.asarray(generic.ids), np.asarray(aligned.ids)
+    )
+    # Accumulation ORDER differs (products sum on top of the loaded
+    # accumulator vs beta*acc added after the product sum): f32
+    # rounding-order tolerance.
+    np.testing.assert_allclose(
+        np.asarray(generic.data), np.asarray(aligned.data),
+        rtol=2e-4, atol=1e-5,
+    )
+    # A smaller accumulator support (missing product blocks) must flag.
+    k = int(C0.nnz)
+    bad_ids = np.asarray(C0.ids).copy()
+    bad_ids[k - 1] = bad_ids[k - 2]  # duplicate => invalid target
+    Dbad = dataclasses.replace(D, ids=jnp.asarray(bad_ids))
+    _, bi = spgemm(
+        A, A, pair_cap=pc, out_cap=oc, row_caps=(mbr, mcr),
+        backend="rows", accum=Dbad, beta=1.0, accum_aligned=True,
+    )
+    assert bool(bi.plan_mismatch)
