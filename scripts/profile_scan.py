@@ -112,7 +112,18 @@ if __name__ == "__main__":
     res = {}
     for variant in ("bare", "notrace", "notrunc", "full", "full_unroll"):
         run = make_variant(variant, prof, plans, nocc, X_CAP)
-        dt = bench.bench_chained(run, X_CAP.data, Ks=(1, 4)) / N_STEPS
+        try:
+            dt = bench.bench_chained(run, X_CAP.data, Ks=(2, 4)) / N_STEPS
+        except Exception as e:  # noqa: BLE001
+            # The K=2 executable of the UNROLLED scan variant
+            # reproducibly crashes the XLA:TPU compiler
+            # (scatter_emitter.cc:2824 variadic-scatter check, round 5)
+            # — the same latent bug profile_routed_1dev.py documents.
+            # Non-essential: unroll measured neutral in round 3, and
+            # the bare/notrace/notrunc/full decomposition is the
+            # evidence this script exists for.
+            print(f"{variant:8s}: FAILED {str(e)[:120]!r}")
+            continue
         res[variant] = dt
         print(f"{variant:8s}: {dt * 1e3:8.2f} ms/step")
 
