@@ -210,7 +210,7 @@ def _make_kernel(
             state[2] = 0
             # BD off-diagonal stays zero for the whole kernel; only the
             # f diagonal b x b slots are overwritten per A block.
-            bd[:] = jnp.zeros((2, 128, 128), jnp.float32)
+            bd[:] = jnp.zeros((2, 128, 128), bd.dtype)
             fetch_achunk(0)
             if n_achunks > 1:
                 fetch_achunk(1)
@@ -507,8 +507,16 @@ def fine_spgemm(
     # Operand prep (XLA relayouts, measured ~free — module docstring):
     # A^T blocks widened to [b, 128] tiles (padded to whole A chunks);
     # B^T blocks flattened (padded so g8-rounded overfetch is in
-    # bounds).
+    # bounds).  At precision="default" the operands are stored bf16 so
+    # every dot is a single MXU pass (converting f32 operands per dot
+    # on the VPU measured SLOWER than precision=highest: 20 vs 17 ms
+    # at B2) and panel fetch bytes halve.
     f32 = jnp.float32
+    st_dtype = (
+        jnp.bfloat16
+        if precision == "default" and jnp.dtype(a_data.dtype) == f32
+        else f32
+    )
     cap_a = a_data.shape[0]
     cap_a_pad = -(-cap_a // _ACHUNK) * _ACHUNK
     if flat_in:
@@ -519,13 +527,13 @@ def fine_spgemm(
         btf_core = jnp.swapaxes(b_data.astype(f32), -1, -2).reshape(
             b_data.shape[0] * fr, 128
         )
-    a_wide = jnp.zeros((cap_a_pad, b, 128), f32)
+    a_wide = jnp.zeros((cap_a_pad, b, 128), st_dtype)
     a_wide = a_wide.at[:cap_a, :, :b].set(
-        at_log * jnp.asarray(alpha, f32)
+        (at_log * jnp.asarray(alpha, f32)).astype(st_dtype)
     )
     cap_b_pad = b_data.shape[0] + _G8
     btf = jnp.concatenate(
-        [btf_core, jnp.zeros((_G8 * fr, 128), f32)]
+        [btf_core.astype(st_dtype), jnp.zeros((_G8 * fr, 128), st_dtype)]
     )
 
     n_achunks = cap_a_pad // _ACHUNK
@@ -546,10 +554,10 @@ def fine_spgemm(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((3, _ACHUNK, b, 128), f32),
-            pltpu.VMEM((_PANEL_P, b_row_max * fr, 128), f32),
+            pltpu.VMEM((3, _ACHUNK, b, 128), st_dtype),
+            pltpu.VMEM((_PANEL_P, b_row_max * fr, 128), st_dtype),
             pltpu.VMEM((2, c_row_max * fr, 128), f32),
-            pltpu.VMEM((2, 128, 128), f32),
+            pltpu.VMEM((2, 128, 128), st_dtype),
             pltpu.VMEM((2, b_row_max * fr, 128), f32),
             pltpu.SMEM((nbc,), jnp.int32),
             pltpu.SMEM((4,), jnp.int32),

@@ -194,6 +194,23 @@ def test_fine_flat_planned_matches_unplanned():
         assert bool(info2.plan_mismatch)
 
 
+def test_fine_precision_default_bf16_storage():
+    """precision='default' stores bf16 operands (single-pass dots);
+    result within bf16 tolerance of the highest path."""
+    bf = 32
+    A, dA = random_fine(8 * bf, 8 * bf, bf, 0.3, seed=15)
+    pc, oc, mbr, mcr = plan_spgemm_ex(A, A)
+    Cd, _ = spgemm(
+        A, A, pair_cap=pc, out_cap=oc, row_caps=(mbr, mcr),
+        backend="fine", precision="default",
+    )
+    ref = dA @ dA
+    rel = np.abs(np.asarray(hbsm.to_dense(Cd)) - ref).max() / max(
+        1e-9, np.abs(ref).max()
+    )
+    assert rel < 2e-2, rel
+
+
 def test_fine_supported_gates():
     assert supported(32, jnp.float32, 40, 400, 512)
     assert supported(16, jnp.float32, 40, 400, 512)
