@@ -349,3 +349,38 @@ def test_frozen_aligned_route_plan(mesh8):
         np.testing.assert_allclose(
             dat0[dev][v0], dat1[dev][v1], rtol=2e-4, atol=1e-5
         )
+
+
+def test_frozen_aligned_sp2_step(mesh8):
+    """dist_sp2_step_routed on an ALIGNED frozen plan (the path real
+    multi-stage TPU purification auto-takes): matches the unfrozen
+    routed step to accumulation-order tolerance, same support."""
+    n, b = 512, 16
+    nocc = n // 4
+    d, A = _b5_style_matrix(n, b, seed=11)
+    ds = (d + d.T).astype(np.float32) / 2
+    ds = ds / max(1.0, 2 * np.abs(ds).sum(1).max())
+    X = hbsm.from_dense(
+        np.eye(n, dtype=np.float32) * 0.55 - ds, block_size=b
+    )
+    Xd = dist.distribute(X, mesh8)
+    plan = route.plan_route(Xd, Xd, 8)
+    assert len(plan.stages) >= 2
+    frozen = route.freeze_route_plan(Xd, Xd, plan, aligned=True)
+    assert frozen.aligned
+    tau = 1e-7
+    Y0, s0 = route.dist_sp2_step_routed(
+        Xd, mesh8, plan, tau, target_trace=nocc, backend="xla"
+    )
+    Y1, s1 = route.dist_sp2_step_routed(
+        Xd, mesh8, frozen, tau, target_trace=nocc,
+        expect_ids=np.asarray(Xd.ids),
+    )
+    assert not bool(s1["overflow"]) and not bool(s1["plan_mismatch"])
+    assert int(s1["n_block_pairs"]) == int(s0["n_block_pairs"])
+    # Truncation compacts both to the kept support: ids must agree
+    # exactly; data to f32 accumulation-order tolerance.
+    np.testing.assert_array_equal(np.asarray(Y1.ids), np.asarray(Y0.ids))
+    np.testing.assert_allclose(
+        np.asarray(Y1.data), np.asarray(Y0.data), rtol=2e-4, atol=1e-6
+    )
