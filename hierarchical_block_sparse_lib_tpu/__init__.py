@@ -109,6 +109,8 @@ from hierarchical_block_sparse_lib_tpu.ops.fine import (
     fine_matmul,
     fine_pack,
     fine_scale,
+    fine_sp2_step,
+    fine_trace,
     fine_truncate,
     fine_unpack,
     make_fine_plan,
@@ -184,6 +186,8 @@ __all__ = [
     "fine_add",
     "fine_scale",
     "fine_truncate",
+    "fine_trace",
+    "fine_sp2_step",
     "fine_frob_squared",
     "matmul",
     "syrk",

@@ -28,6 +28,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from hierarchical_block_sparse_lib_tpu.core.block_matrix import (
     SENTINEL,
@@ -154,6 +155,56 @@ def fine_scale(a: FineFlat, alpha) -> FineFlat:
 def fine_frob_squared(a: FineFlat) -> jax.Array:
     """Sum of squares is payload-layout invariant."""
     return jnp.sum(jnp.square(a.data.astype(jnp.float32)))
+
+
+def fine_trace(a: FineFlat) -> jax.Array:
+    """Matrix trace on transposed-flat payloads: trace(X^T) == trace(X),
+    and diagonal element i of a flat [fr,128] payload sits at
+    (i // f, b*(i % f) + i) with f = 128/b — a static gather."""
+    b = a.block_size
+    f = 128 // b
+    ii = np.arange(b)
+    gs = jnp.asarray((ii // f).astype(np.int32))
+    lanes = jnp.asarray((b * (ii % f) + ii).astype(np.int32))
+    is_diag = (a.ids // a.nb_cols) == (a.ids % a.nb_cols)
+    block_traces = a.data[:, gs, lanes].sum(axis=-1)
+    return jnp.sum(
+        jnp.where(
+            (a.ids != SENTINEL) & is_diag,
+            block_traces.astype(jnp.float32),
+            0.0,
+        )
+    )
+
+
+def fine_sp2_step(
+    x: FineFlat,
+    tau,
+    pair_cap: int,
+    out_cap: int,
+    row_caps: tuple[int, int],
+    target_trace,
+    precision: str = "highest",
+    cap: int | None = None,
+    plan: FinePlan | None = None,
+):
+    """One SP2 purification step at the reference's FINE leaf
+    granularity, entirely on the flat engine:
+    X' = trunc((2s-1)*X^2 + (2-2s)*X), s = [trace(X) > target].
+    Returns (FineFlat, (trace, MultiplyInfo)).  The flagship workload
+    (SURVEY.md section 4.3) at the reference's own 16/32 leaves —
+    b=128 chains should keep using models.purification (the 128-tile
+    kernels)."""
+    t = fine_trace(x)
+    s = (t > jnp.asarray(target_trace, jnp.float32)).astype(jnp.float32)
+    x2, info = fine_matmul(
+        x, x, pair_cap=pair_cap, out_cap=out_cap, row_caps=row_caps,
+        precision=precision, plan=plan,
+    )
+    y = fine_add(x2, x, alpha=2.0 * s - 1.0, beta=2.0 - 2.0 * s,
+                 cap=out_cap + x.cap)
+    y = fine_truncate(y, tau, cap=cap if cap is not None else x.cap)
+    return y, (t, info)
 
 
 def fine_truncate(

@@ -239,3 +239,63 @@ def test_fine_transpose_flags():
     np.testing.assert_allclose(
         np.asarray(hbsm.to_dense(C)), dA.T @ dB, rtol=1e-5, atol=1e-5
     )
+
+
+def test_fine_trace_and_sp2_step():
+    """Purification at the reference's fine granularity: fine_trace
+    matches the dense trace; fine_sp2_step matches the canonical
+    sp2_step (same support, values to f32 tolerance)."""
+    from hierarchical_block_sparse_lib_tpu.models.purification import (
+        sp2_step,
+    )
+
+    bf = 32
+    n = 8 * bf
+    nocc0 = n // 4
+    rng = np.random.default_rng(21)
+    dH = rng.standard_normal((n, n)).astype(np.float64)
+    dH = (dH + dH.T) / 2
+    _, V = np.linalg.eigh(dH)
+    # Gapped spectrum in [0,1]: nocc occupied near 1, rest near 0 —
+    # SP2 converges fast (a near-degenerate spectrum at the chemical
+    # potential converges arbitrarily slowly).
+    w = np.concatenate(
+        [np.linspace(0.95, 0.7, nocc0), np.linspace(0.3, 0.05, n - nocc0)]
+    )
+    dX = (V * w) @ V.T
+    dX = dX.astype(np.float32)
+    X = hbsm.from_dense(jnp.asarray(dX), block_size=bf)
+    Xf = hbsm.fine_pack(X)
+    np.testing.assert_allclose(
+        float(hbsm.fine_trace(Xf)), float(np.trace(dX)), rtol=1e-5
+    )
+    pc, oc, mbr, mcr = plan_spgemm_ex(X, X)
+    nocc = nocc0
+    tau = 1e-7
+    Yf, (t, info) = hbsm.fine_sp2_step(
+        Xf, tau, pair_cap=pc, out_cap=oc, row_caps=(mbr, mcr),
+        target_trace=nocc, cap=oc,
+    )
+    assert not bool(info.pair_overflow)
+    Yc, _ = sp2_step(
+        X, tau, pair_cap=pc, out_cap=oc, target_trace=nocc, cap=oc,
+        backend="xla",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hbsm.fine_unpack(Yf).ids), np.asarray(Yc.ids)
+    )
+    np.testing.assert_allclose(
+        np.asarray(hbsm.to_dense(hbsm.fine_unpack(Yf))),
+        np.asarray(hbsm.to_dense(Yc)),
+        rtol=2e-4, atol=1e-5,
+    )
+    # A few steps converge toward an idempotent projector.
+    Zf = Xf
+    for _ in range(25):
+        Zf, _ = hbsm.fine_sp2_step(
+            Zf, tau, pair_cap=pc, out_cap=oc, row_caps=(mbr, mcr),
+            target_trace=nocc, cap=oc,
+        )
+    dZ = np.asarray(hbsm.to_dense(hbsm.fine_unpack(Zf))).astype(np.float64)
+    assert np.abs(dZ @ dZ - dZ).max() < 1e-2
+    assert abs(np.trace(dZ) - nocc) < 0.5
