@@ -307,11 +307,14 @@ def _make_kernel(
                         0, jnp.minimum(csize, bcnt - off), add1, 0
                     )
 
+            # ONE whole-panel dot per A block (a branch per 8-multiple
+            # size) instead of a pow2 chunk pair: fewer BD weight
+            # loads, larger M per dot.
             rcnt = ((bcnt + _G8 - 1) // _G8) * _G8
-            for s in chunk_sizes:
-                @pl.when((rcnt & s) != 0)
+            for s in range(_G8, rb_max + 1, _G8):
+                @pl.when(rcnt == s)
                 def _(s=s):
-                    chunk(rcnt & ~(2 * s - 1), s)
+                    chunk(0, s)
 
         @pl.when(has_work)
         def _():
