@@ -15,6 +15,14 @@ Paths, timed in ONE process on the configured B2 structure (16384^2,
 
 The winner's gate goes into ops/matmul.py.
 
+HISTORICAL CAVEAT (round 5): this script's round-4 numbers (44/64/252
+ms) were measured with K=(1,3)/(1,4) spans, which the K=1
+dispatch-constant anomaly makes 3-8x optimistic in absolute terms
+(scripts/profile_fine32b.py); the ORDERING it established
+(direct > kpack > coarsen) was confirmed under the corrected
+protocol, and the direct path is now the fine BD kernel
+(scripts/bench_b32_backend.py is the current A/B of record).
+
 Run on the real TPU:  python scripts/bench_fine_dispatch.py
 """
 
